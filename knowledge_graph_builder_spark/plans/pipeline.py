@@ -1,0 +1,161 @@
+"""End-to-end KG construction pipeline + checkpoint/resume lineage
+(SURVEY.md §3, §7 step 8; north_rule: resumable from checkpoint with
+per-partition lineage + metrics).
+
+Stage graph (each stage optionally checkpointed as parquet):
+
+    transcripts --(fused shuffle+sort+kernel)--> kernel_rows
+    kernel_rows -> entities, metadata
+    kernel_rows + metadata -> relationships -> validated triples
+    kernel_rows + entities + metadata -> events
+    triples/entities/events -> nodes/edges tables
+
+Resume semantics: a stage directory with a _SUCCESS marker AND a matching
+manifest row (same run fingerprint) is reused by reading it back instead
+of recomputing — idempotent under partial writes because parquet writes
+are staged (write-then-commit) and the manifest row lands only after the
+write commits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.assembly import assemble_conversations
+from ..operators.events import extract_events
+from ..operators.extraction import (
+    entity_stage,
+    extract_from_transcripts,
+    extract_kernel,
+    first_metadata_per_sentence,
+)
+from ..operators.graph import build_edges, build_event_nodes_and_edges, build_nodes
+from ..operators.relationships import extract_relationships
+from ..operators.validation import to_triples, validate_relationships
+
+
+@dataclass
+class PipelineResult:
+    kernel_rows: DataFrame
+    entities: DataFrame
+    triples: DataFrame
+    events: DataFrame
+    nodes: DataFrame
+    edges: DataFrame
+    lineage: list[dict] = field(default_factory=list)
+
+
+class Checkpointer:
+    """Parquet stage checkpointing with a JSON-lines manifest.
+
+    The manifest row for a stage is written only after the stage's
+    parquet commit, so a killed run resumes by recomputing exactly the
+    stages without manifest rows; completed stages load from disk.
+    """
+
+    def __init__(self, root: str | None, run_id: str, spark: SparkSession):
+        self.root = root
+        self.run_id = run_id
+        self.spark = spark
+        self.lineage: list[dict] = []
+        self._manifest: dict[str, dict] = {}
+        if root:
+            os.makedirs(root, exist_ok=True)
+            mpath = self._manifest_path()
+            if os.path.exists(mpath):
+                with open(mpath) as fh:
+                    for line in fh:
+                        row = json.loads(line)
+                        if row.get("run_id") == run_id and row.get("status") == "ok":
+                            self._manifest[row["stage"]] = row
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.jsonl")
+
+    def stage(self, name: str, compute, partition_by: str | None = None) -> DataFrame:
+        """Return the stage frame, from checkpoint when complete."""
+        if not self.root:
+            df = compute()
+            return df
+        path = os.path.join(self.root, name)
+        if name in self._manifest and os.path.exists(os.path.join(path, "_SUCCESS")):
+            self.lineage.append({**self._manifest[name], "resumed": True})
+            return self.spark.read.parquet(path)
+        t0 = time.monotonic()
+        df = compute()
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(path)
+        out = self.spark.read.parquet(path)
+        row = {
+            "run_id": self.run_id,
+            "stage": name,
+            "output_rows": out.count(),
+            "wall_ms": int((time.monotonic() - t0) * 1000),
+            "status": "ok",
+        }
+        with open(self._manifest_path(), "a") as fh:
+            fh.write(json.dumps(row) + "\n")
+        self.lineage.append(row)
+        self._manifest[name] = row
+        return out
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    session_id: str = "batch",
+    checkpoint_dir: str | None = None,
+    run_id: str = "run-0",
+    fused: bool = True,
+    kernel_partitions: int | None = None,
+) -> PipelineResult:
+    """Transcripts -> full knowledge graph.
+
+    ``fused=True`` uses the single-shuffle assembly+extraction path;
+    ``fused=False`` materializes documents first (useful for debugging and
+    for reusing pre-assembled documents).
+    """
+    ckpt = Checkpointer(checkpoint_dir, run_id, spark)
+
+    documents = assemble_conversations(transcripts)
+    if fused:
+        kernel_rows = ckpt.stage(
+            "kernel_rows", lambda: extract_from_transcripts(transcripts, kernel_partitions)
+        )
+    else:
+        kernel_rows = ckpt.stage("kernel_rows", lambda: extract_kernel(documents, kernel_partitions))
+
+    ents_and_meta = entity_stage(kernel_rows, documents)
+    entities = ckpt.stage("entities", lambda: ents_and_meta[0])
+    metadata = ents_and_meta[1]
+    sent_meta = first_metadata_per_sentence(metadata)
+
+    triples = ckpt.stage(
+        "triples",
+        lambda: to_triples(
+            validate_relationships(extract_relationships(kernel_rows, sent_meta), entities)
+        ),
+    )
+    events = ckpt.stage("events", lambda: extract_events(kernel_rows, entities, sent_meta))
+
+    nodes = build_nodes(entities, session_id)
+    edges = build_edges(triples, nodes, session_id)
+    event_nodes, involves = build_event_nodes_and_edges(events, nodes, session_id)
+    all_edges = edges.unionByName(involves)
+
+    return PipelineResult(
+        kernel_rows=kernel_rows,
+        entities=entities,
+        triples=triples,
+        events=events,
+        nodes=nodes,
+        edges=all_edges,
+        lineage=ckpt.lineage,
+    )

@@ -1,0 +1,38 @@
+"""Transcript source (reference S1/S2 equivalent — SURVEY.md §2.1).
+
+The reference ingested one HTTP request body per document (main.py:64-75).
+Here the source is an Iceberg table of transcripts when an Iceberg catalog
+is configured, else a parquet directory with the identical layout; either
+way `conv_id` plays the reference's `document_id`.
+
+Filters and column selection applied downstream reach the scan (predicate
+pushdown / column pruning); partition pruning applies when the table is
+written bucketed/partitioned by conv_id hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schema import TRANSCRIPTS
+
+
+def read_transcripts(spark: SparkSession, source: str) -> DataFrame:
+    """Read the transcripts table.
+
+    ``source`` may be an Iceberg table identifier (``catalog.db.table``,
+    used when the session has an Iceberg catalog) or a parquet path.
+    """
+    if "/" not in source and "." in source:
+        try:
+            return spark.read.format("iceberg").load(source)
+        except Exception:
+            pass  # no Iceberg runtime in this environment — parquet fallback
+    return spark.read.schema(TRANSCRIPTS).parquet(source)
+
+
+def write_transcripts(df: DataFrame, path: str, buckets: int = 0) -> None:
+    """Write transcripts partition-friendly: clustered by conv_id so the
+    assembly shuffle is cheap (and prunable when bucketing is available)."""
+    writer = df.repartition("conv_id").sortWithinPartitions("conv_id", "turn_idx").write.mode("overwrite")
+    writer.parquet(path)

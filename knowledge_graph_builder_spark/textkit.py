@@ -1,0 +1,557 @@
+"""Deterministic text kernel: cleaning, sentence segmentation, gazetteer
+NER, metadata span detection, and pattern-based SVO extraction.
+
+This module is pure Python with no Spark imports. It runs *inside* the
+Arrow-batched extraction UDF (one call per document, vectorized over
+pandas batches — see operators/extraction.py) and must stay deterministic:
+the same document text always yields the same sentences, mentions, and SVO
+candidates regardless of partitioning or executor count.
+
+It replaces the reference's spaCy parse (en_core_web_sm is unavailable and
+non-deterministic across versions) with a rule-driven equivalent:
+
+* sentence split  — reference used spaCy `doc.sents` (nlp_engine.py:158);
+  here: punctuation split with an abbreviation guard.
+* NER             — reference used spaCy `doc.ents` (nlp_engine.py:166);
+  here: gazetteer longest-match + capitalized-run heuristic + regex
+  classes for DATE/MONEY/PERCENT/CARDINAL/ORDINAL. The gazetteer
+  deliberately mislabels a few names the way spaCy does (amazon/alibaba/
+  kindle as GPE) so the downstream type-correction operator
+  (nlp_engine.py:55-101) has real work to do.
+* SVO             — reference used the spaCy dependency parse
+  (relationship_logic.py:176-256); here: a verb-anchored pattern grammar
+  over detected mention spans, reproducing the reference's observable
+  quirks (full-phrase endpoints including determiners, which then fail
+  the validator's exact-name match).
+
+Everything downstream of this kernel is relational (DataFrame ops).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from .rules import VERB_TO_RELATIONSHIP
+
+# ---------------------------------------------------------------------------
+# Cleaning (reference nlp_engine.py:22-27)
+# ---------------------------------------------------------------------------
+
+_WS_RE = re.compile(r"\s+")
+
+
+def clean_text(text: str) -> str:
+    """Collapse all whitespace runs to single spaces and strip."""
+    return _WS_RE.sub(" ", text).strip()
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation
+# ---------------------------------------------------------------------------
+
+# Abbreviations that must not end a sentence (lowercased, no trailing dot).
+_ABBREVIATIONS = {
+    "inc", "corp", "ltd", "co", "mr", "mrs", "ms", "dr", "prof", "st", "vs",
+    "etc", "e.g", "i.e", "u.s", "u.k", "u.s.a", "no", "jr", "sr", "jan",
+    "feb", "mar", "apr", "jun", "jul", "aug", "sep", "sept", "oct", "nov", "dec",
+}
+
+_BOUNDARY_RE = re.compile(r"[.!?]+")
+_NEXT_START_RE = re.compile(r'[A-Z0-9"\'$(]')
+
+
+def split_sentences(text: str) -> list[tuple[str, int]]:
+    """Split cleaned text into sentences.
+
+    Returns ``[(sentence_text, start_offset)]`` with offsets into the
+    cleaned document. A ``[.!?]`` run ends a sentence when it is followed
+    by whitespace and an uppercase/digit/quote/dollar opener, unless the
+    preceding token is a known abbreviation or a single capital initial.
+    """
+    sentences: list[tuple[str, int]] = []
+    start = 0
+    n = len(text)
+    for m in _BOUNDARY_RE.finditer(text):
+        end = m.end()
+        if end >= n:
+            break
+        # Must be followed by whitespace then a plausible sentence opener.
+        j = end
+        while j < n and text[j] == " ":
+            j += 1
+        if j == end or j >= n or not _NEXT_START_RE.match(text[j]):
+            continue
+        # Preceding token check (only for '.' endings).
+        if text[m.start()] == ".":
+            word = _preceding_word(text, m.start())
+            wl = word.lower().rstrip(".")
+            if wl in _ABBREVIATIONS:
+                continue
+            if len(word) == 1 and word.isupper():
+                continue  # middle initial: "J. Smith"
+        sent = text[start:end].strip()
+        if sent:
+            sentences.append((sent, start))
+        start = j
+    tail = text[start:].strip()
+    if tail:
+        sentences.append((tail, start))
+    return sentences
+
+
+def _preceding_word(text: str, pos: int) -> str:
+    i = pos
+    while i > 0 and text[i - 1] not in " \t":
+        i -= 1
+    return text[i:pos]
+
+
+# ---------------------------------------------------------------------------
+# Gazetteer NER
+# ---------------------------------------------------------------------------
+
+# Raw-label gazetteer. Labels here are the *spaCy-layer* labels the kernel
+# emits; the type-correction operator (P3) fixes the deliberate
+# misclassifications below exactly like the reference corrects spaCy.
+_GAZETTEER_SOURCE: dict[str, list[str]] = {
+    "PERSON": [
+        "steve jobs", "tim cook", "jeff bezos", "bill gates", "elon musk",
+        "satya nadella", "sundar pichai", "mark zuckerberg", "larry page",
+        "sergey brin", "jack ma", "andy jassy", "jensen huang", "lisa su",
+        "sam altman", "warren buffett", "marc benioff", "jack dorsey",
+        "reed hastings", "daniel ek", "steve wozniak", "paul allen",
+        "larry ellison", "michael dell", "susan wojcicki", "sheryl sandberg",
+    ],
+    "ORG": [
+        "apple", "microsoft", "google", "beats", "netflix", "oracle", "ibm",
+        "intel", "nvidia", "amd", "samsung", "sony", "tesla", "spacex",
+        "uber", "airbnb", "salesforce", "cisco", "huawei", "xiaomi", "meta",
+        "facebook", "twitter", "tencent", "baidu", "openai", "spotify",
+        "slack", "zoom", "whatsapp", "instagram", "youtube", "linkedin",
+        "paypal", "stripe", "shopify", "qualcomm", "broadcom", "dell",
+        "lenovo", "asus", "acer", "pixar", "deepmind", "whole foods",
+        "activision", "linkedin corp", "github", "mojang", "skype",
+    ],
+    # Deliberate spaCy-style misclassifications: corrected downstream by P3.
+    "GPE_MISLABELED": ["amazon", "alibaba", "kindle"],
+    "GPE": [
+        "cupertino", "california", "seattle", "redmond", "mountain view",
+        "new york", "london", "paris", "tokyo", "beijing", "shanghai",
+        "china", "japan", "germany", "france", "india", "texas", "austin",
+        "san francisco", "menlo park", "united states", "u.s.", "u.s",
+        "u.k.", "u.k", "u.s.a.", "u.s.a",
+        "united kingdom", "washington", "europe", "canada",
+        "singapore", "dublin", "ireland", "boston", "chicago", "hangzhou",
+        "south korea", "seoul", "shenzhen", "santa clara", "palo alto",
+    ],
+    "PRODUCT": [
+        "iphone", "ipad", "macbook", "airpods", "apple watch", "imac",
+        "xbox", "surface", "azure", "android", "chrome", "gmail",
+        "google maps", "pixel", "playstation", "ps5", "nintendo switch",
+        "fire tv", "fire stick", "windows", "kubernetes", "tensorflow",
+    ],
+    # NOTE: echo/alexa/siri/cortana are intentionally absent — the
+    # force-detect operator (reference nlp_engine.py:197-214) must find them.
+}
+
+GAZETTEER: dict[str, str] = {}
+for _label, _phrases in _GAZETTEER_SOURCE.items():
+    _out = "GPE" if _label == "GPE_MISLABELED" else _label
+    for _p in _phrases:
+        GAZETTEER[_p] = _out
+
+_MAX_GAZ_WORDS = max(len(p.split()) for p in GAZETTEER)
+
+# Corporate-suffix tokens absorbed into a preceding ORG/GPE gazetteer match
+# so "Apple Inc." is one span, like a spaCy ORG ent. Keys are the dotless
+# cores; value True means a directly attached '.' is kept in the span text.
+_CORP_SUFFIX_TOKENS = {"inc", "corp", "corporation", "llc", "ltd", "limited", "co"}
+
+# Products the NER deliberately misses so the force-detect operator
+# (reference nlp_engine.py:197-214) has real work to do.
+_NER_BLINDSPOTS = {"echo", "alexa", "siri", "cortana"}
+
+# Capitalized-run fallback: unknown TitleCase token runs become ORG
+# (mirrors spaCy's tendency on tech/business prose, e.g. "Beats").
+_CAP_TOKEN_RE = re.compile(r"^[A-Z][a-z]+$")
+_STOP_CAPS = {
+    "The", "A", "An", "In", "On", "At", "It", "He", "She", "They", "We",
+    "I", "This", "That", "These", "Those", "Its", "His", "Her", "Their",
+    "Our", "If", "When", "While", "After", "Before", "But", "And", "Or",
+    "As", "By", "For", "From", "To", "With", "Series", "Last", "Next",
+    "During", "Since", "Both", "Each", "Per", "Also", "However", "Then",
+    "There", "Here", "Today", "Yesterday", "Tomorrow", "Meanwhile", "Now",
+    "Later", "First", "Finally", "Once", "Some", "Many", "Most", "Other",
+    "Another", "Such", "So", "Not", "No", "Yes", "Still", "Soon", "Again",
+    "Until", "Though", "Although", "Because", "Thus", "Hence", "Therefore",
+    "Moreover", "Further", "Several", "All", "Every", "Any", "What", "Who",
+    "How", "Why", "Where", "Which", "Please", "Thanks", "Ok", "Okay",
+}
+
+# Metadata regex classes (ordered; first match at a position wins).
+_MONEY_RE = re.compile(
+    r"\$[\d][\d,]*(?:\.\d+)?(?:\s(?:trillion|billion|million|thousand))?"
+)
+_PERCENT_RE = re.compile(r"\d+(?:\.\d+)?\s?(?:%|percent)")
+_DATE_PHRASES = [
+    "last year", "last month", "last week", "next year", "next month",
+    "this year", "this month", "this week", "yesterday", "tomorrow",
+]
+_MONTHS = (
+    "January|February|March|April|May|June|July|August|September|October|November|December"
+)
+_DATE_RE = re.compile(
+    rf"(?:(?:{_MONTHS})\s\d{{1,2}}(?:,\s\d{{4}})?)|(?:(?:{_MONTHS})\s\d{{4}})|(?:{_MONTHS})|(?:\b(?:19|20)\d{{2}}\b)"
+)
+_ORDINAL_RE = re.compile(
+    r"\b(?:first|second|third|fourth|fifth|sixth|seventh|eighth|ninth|tenth|\d+(?:st|nd|rd|th))\b",
+    re.IGNORECASE,
+)
+_CARDINAL_RE = re.compile(
+    r"\b\d[\d,]*(?:\.\d+)?(?:\s(?:trillion|billion|million|thousand|hundred))?\b"
+)
+
+_TOKEN_RE = re.compile(r"\S+")
+
+
+@dataclass
+class Mention:
+    """One detected span. ``label`` is the raw (spaCy-layer) label."""
+
+    text: str
+    label: str
+    start: int  # offset within the *document* (cleaned text)
+    end: int
+
+
+def _tokenize(sentence: str) -> list[tuple[str, int, int]]:
+    return [(m.group(0), m.start(), m.end()) for m in _TOKEN_RE.finditer(sentence)]
+
+
+def _strip_punct(tok: str) -> tuple[str, int, int]:
+    """Strip leading/trailing punctuation; return (core, lead, trail) widths."""
+    lead = 0
+    trail = 0
+    while lead < len(tok) and tok[lead] in "\"'([{":
+        lead += 1
+    core = tok[lead:]
+    while trail < len(core) and core[-trail - 1] in ",.;:!?\"')]}":
+        trail += 1
+    if trail:
+        core = core[:-trail]
+    return core, lead, trail
+
+
+def detect_mentions(sentence: str, sent_start: int) -> list[Mention]:
+    """Scan one sentence left-to-right for entity and metadata spans.
+
+    Precedence at each token position: gazetteer longest-match > money >
+    percent > date-phrase/date > ordinal > cardinal > capitalized-run ORG.
+    Offsets are document-level (``sent_start`` + in-sentence offset).
+    """
+    tokens = _tokenize(sentence)
+    lower = sentence.lower()
+    mentions: list[Mention] = []
+    i = 0
+    while i < len(tokens):
+        tok, ts, te = tokens[i]
+        core, lead, trail = _strip_punct(tok)
+        if not core:
+            i += 1
+            continue
+        cs, ce = ts + lead, te - trail
+
+        # 1) gazetteer longest match (case-insensitive, over core tokens).
+        # A trailing '.' attached to the last token is tried first so
+        # dotted abbreviations ("U.S.") keep their spaCy-like surface form.
+        matched = False
+        for span in range(min(_MAX_GAZ_WORDS, len(tokens) - i), 0, -1):
+            lt, lts, lte = tokens[i + span - 1]
+            lcore, llead, ltrail = _strip_punct(lt)
+            if not lcore:
+                continue
+            core_end = lte - ltrail
+            candidates = []
+            if ltrail and sentence[core_end] == ".":
+                candidates.append(core_end + 1)
+            candidates.append(core_end)
+            for pe in candidates:
+                phrase = sentence[cs:pe]
+                label = GAZETTEER.get(phrase.lower())
+                if label is None:
+                    continue
+                # absorb a following corporate-suffix token ("Apple Inc.")
+                # into ORG/GPE spans, the way spaCy yields one ORG ent.
+                j = i + span
+                while label in ("ORG", "GPE") and j < len(tokens):
+                    stok, sts, ste = tokens[j]
+                    score, slead, strail = _strip_punct(stok)
+                    if score.lower() not in _CORP_SUFFIX_TOKENS or slead:
+                        break
+                    send = ste - strail
+                    if strail and sentence[send] == ".":
+                        send += 1
+                    phrase = sentence[cs:send]
+                    pe = send
+                    j += 1
+                mentions.append(Mention(phrase, label, sent_start + cs, sent_start + pe))
+                i = _advance(tokens, i, pe)
+                matched = True
+                break
+            if matched:
+                break
+        if matched:
+            continue
+
+        rest = sentence[cs:]
+
+        m = _MONEY_RE.match(rest)
+        if m:
+            mentions.append(Mention(m.group(0), "MONEY", sent_start + cs, sent_start + cs + m.end()))
+            i = _advance(tokens, i, cs + m.end())
+            continue
+
+        m = _PERCENT_RE.match(rest)
+        if m:
+            mentions.append(Mention(m.group(0), "PERCENT", sent_start + cs, sent_start + cs + m.end()))
+            i = _advance(tokens, i, cs + m.end())
+            continue
+
+        phrase_matched = False
+        for phrase in _DATE_PHRASES:
+            if lower.startswith(phrase, cs):
+                raw = sentence[cs : cs + len(phrase)]
+                mentions.append(Mention(raw, "DATE", sent_start + cs, sent_start + cs + len(phrase)))
+                i = _advance(tokens, i, cs + len(phrase))
+                phrase_matched = True
+                break
+        if phrase_matched:
+            continue
+
+        m = _DATE_RE.match(rest)
+        if m:
+            mentions.append(Mention(m.group(0), "DATE", sent_start + cs, sent_start + cs + m.end()))
+            i = _advance(tokens, i, cs + m.end())
+            continue
+
+        m = _ORDINAL_RE.match(rest)
+        if m and m.group(0) == core[: len(m.group(0))]:
+            mentions.append(Mention(m.group(0), "ORDINAL", sent_start + cs, sent_start + cs + m.end()))
+            i = _advance(tokens, i, cs + m.end())
+            continue
+
+        m = _CARDINAL_RE.match(rest)
+        if m:
+            mentions.append(Mention(m.group(0), "CARDINAL", sent_start + cs, sent_start + cs + m.end()))
+            i = _advance(tokens, i, cs + m.end())
+            continue
+
+        # 2) capitalized-run fallback -> ORG. Deliberately blind to the
+        # force-detect products; stops before gazetteer words so "Beats"
+        # next to "Apple" stays two spans.
+        if (
+            _CAP_TOKEN_RE.match(core)
+            and core not in _STOP_CAPS
+            and core.lower() not in _NER_BLINDSPOTS
+        ):
+            last_end = ce
+            j = i
+            # extend while the token had no trailing punctuation and the
+            # next token is an unknown TitleCase word
+            while trail == 0 and j + 1 < len(tokens):
+                t2, t2s, t2e = tokens[j + 1]
+                c2, l2, r2 = _strip_punct(t2)
+                if (
+                    not c2
+                    or l2
+                    or not _CAP_TOKEN_RE.match(c2)
+                    or c2 in _STOP_CAPS
+                    or c2.lower() in GAZETTEER
+                    or c2.lower() in _NER_BLINDSPOTS
+                ):
+                    break
+                j += 1
+                last_end = t2e - r2
+                trail = r2
+            # absorb a trailing corporate-suffix token, like the gazetteer path
+            while trail == 0 and j + 1 < len(tokens):
+                stok, sts, ste = tokens[j + 1]
+                score, slead, strail = _strip_punct(stok)
+                if slead or score.lower() not in _CORP_SUFFIX_TOKENS:
+                    break
+                send = ste - strail
+                if strail and sentence[send] == ".":
+                    send += 1
+                j += 1
+                last_end = send
+                trail = 1
+            phrase = sentence[cs:last_end]
+            mentions.append(Mention(phrase, "ORG", sent_start + cs, sent_start + last_end))
+            i = j + 1
+            continue
+
+        i += 1
+    return mentions
+
+
+def _advance(tokens: list[tuple[str, int, int]], i: int, end_off: int) -> int:
+    """Move token index past a matched span ending at in-sentence ``end_off``."""
+    j = i
+    while j < len(tokens) and tokens[j][1] < end_off:
+        j += 1
+    return max(j, i + 1)
+
+
+# ---------------------------------------------------------------------------
+# SVO pattern extraction
+# ---------------------------------------------------------------------------
+
+# Lemmatization for the verbs the rule table can ever map. The reference
+# looks VERB_TO_RELATIONSHIP up by spaCy token.lemma_
+# (relationship_logic.py:190,216), so only base-form keys are reachable.
+_VERB_LEMMAS: dict[str, str] = {
+    "owns": "own", "owned": "own", "possesses": "possess", "possessed": "possess",
+    "controls": "control", "controlled": "control",
+    "founded": "found", "founds": "found", "co-founded": "co-found",
+    "employs": "employ", "employed": "employ",
+    "hires": "hire", "hired": "hire",
+    "works": "work", "worked": "work",
+    "locates": "locate", "located": "locate",
+    "bases": "base", "based": "base",
+    "headquarters": "headquarter", "headquartered": "headquarter",
+    "acquires": "acquire", "acquired": "acquire",
+    "buys": "buy", "bought": "buy",
+    "purchases": "purchase", "purchased": "purchase",
+    "produces": "produce", "produced": "produce",
+    "manufactures": "manufacture", "manufactured": "manufacture",
+    "makes": "make", "made": "make",
+    "creates": "create", "created": "create",
+    "develops": "develop", "developed": "develop",
+    "builds": "build", "built": "build",
+    "releases": "release", "released": "release",
+    "launches": "launch", "launched": "launch",
+    "establishes": "establish", "established": "establish",
+    "occurs": "occur", "occurred": "occur",
+    "happens": "happen", "happened": "happen",
+    "collaborates": "collaborate", "collaborated": "collaborate",
+    "partners": "partner", "partnered": "partner",
+    "competes": "compete", "competed": "compete",
+    "rivals": "rival", "rivaled": "rival",
+    "raises": "raise", "raised": "raise",
+    "names": "name", "named": "name",
+    "appoints": "appoint", "appointed": "appoint",
+}
+
+_VERB_SURFACE = set(_VERB_LEMMAS) | set(_VERB_LEMMAS.values())
+
+_PREPOSITIONS = {"in", "by", "for", "with", "at", "of", "from", "to", "on", "into", "as"}
+_DETERMINERS = {"the", "a", "an", "its", "his", "her", "their", "our"}
+
+
+def lemmatize_verb(word: str) -> str:
+    w = word.lower()
+    return _VERB_LEMMAS.get(w, w)
+
+
+@dataclass
+class SvoCandidate:
+    subj: str
+    verb_lemma: str
+    obj: str
+    order: int  # emission order within the sentence
+
+
+def extract_svo(sentence: str, mentions: list[Mention], sent_start: int) -> list[SvoCandidate]:
+    """Verb-anchored SVO approximation of the reference's dependency walk
+    (relationship_logic.py:176-256).
+
+    * anchor verb = first token whose lemma maps through the verb table
+      (approximates the single ROOT verb of a simple sentence);
+    * subject = nearest mention ending before the verb (approximates
+      nsubj/nsubjpass subtree);
+    * objects = first mention after the verb (approximates dobj) plus any
+      mention directly introduced by a preposition (approximates
+      prep->pobj);
+    * endpoint texts are expanded leftward over determiners to reproduce
+      the reference's full-subtree join ("the iPhone"), which is what
+      makes most SVO endpoints fail the validator's exact-name match.
+    """
+    tokens = _tokenize(sentence)
+    verb_idx = None
+    verb_lemma = None
+    for idx, (tok, ts, te) in enumerate(tokens):
+        core, lead, trail = _strip_punct(tok)
+        cl = core.lower()
+        if cl in _VERB_SURFACE:
+            lem = lemmatize_verb(cl)
+            if lem in VERB_TO_RELATIONSHIP or lem in {"raise", "name", "appoint"}:
+                verb_idx = idx
+                verb_lemma = lem
+                break
+    if verb_idx is None:
+        return []
+
+    verb_start = sent_start + tokens[verb_idx][1]
+    verb_end = sent_start + tokens[verb_idx][2]
+
+    before = [m for m in mentions if m.end <= verb_start]
+    after = [m for m in mentions if m.start >= verb_end]
+    if not before or not after:
+        return []
+
+    subj = before[-1]  # nearest mention before the verb
+
+    objects: list[Mention] = []
+    prev_end = verb_end
+    for k, m in enumerate(after):
+        between = sentence[prev_end - sent_start : m.start - sent_start].lower()
+        between_words = set(re.findall(r"[a-z]+", between))
+        if k == 0 and not (between_words & _PREPOSITIONS):
+            objects.append(m)  # direct object
+        elif between_words & _PREPOSITIONS:
+            objects.append(m)  # prepositional object
+        prev_end = m.end
+
+    out: list[SvoCandidate] = []
+    subj_text = _expand_determiners(sentence, subj, sent_start)
+    for order, obj in enumerate(objects):
+        obj_text = _expand_determiners(sentence, obj, sent_start)
+        out.append(SvoCandidate(subj_text, verb_lemma, obj_text, order))
+    return out
+
+
+def _expand_determiners(sentence: str, m: Mention, sent_start: int) -> str:
+    """Prefix the mention with an immediately preceding determiner, the way
+    a dependency subtree join includes 'the' in 'the iPhone'."""
+    local_start = m.start - sent_start
+    prefix = sentence[:local_start]
+    words = prefix.rstrip().split(" ")
+    if words and words[-1].lower() in _DETERMINERS and prefix.endswith(" "):
+        det = words[-1]
+        return f"{det} {m.text}"
+    return m.text
+
+
+# ---------------------------------------------------------------------------
+# Per-document parse — the single entry point used by the Arrow kernel
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ParsedDocument:
+    sentences: list[tuple[str, int]]            # (text, doc offset)
+    mentions: list[tuple[int, Mention]]         # (sent_idx, mention), doc order
+    svos: list[tuple[int, SvoCandidate]]        # (sent_idx, candidate)
+
+
+def parse_document(text: str, max_length: int = 2_000_000) -> ParsedDocument:
+    cleaned = clean_text(text)[:max_length]
+    sentences = split_sentences(cleaned)
+    mentions: list[tuple[int, Mention]] = []
+    svos: list[tuple[int, SvoCandidate]] = []
+    for sent_idx, (sent, start) in enumerate(sentences):
+        sent_mentions = detect_mentions(sent, start)
+        mentions.extend((sent_idx, m) for m in sent_mentions)
+        svos.extend((sent_idx, s) for s in extract_svo(sent, sent_mentions, start))
+    return ParsedDocument(sentences, mentions, svos)

@@ -1,0 +1,173 @@
+"""Golden end-to-end tests: the reference's smoke texts (SURVEY.md §5,
+FIXTURES.md §2) run through the full pipeline; expected entity/triple/
+event sets are hand-derived from the reference rule semantics, including
+its rejection quirks (suffix-carrying endpoints, determiner-carrying SVO
+phrases, dead rules)."""
+
+import pytest
+
+from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
+from knowledge_graph_builder_spark.sources.synth import golden_transcripts
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    res = run_pipeline(spark, golden_transcripts(spark), fused=True)
+    entities = {
+        (r.conv_id, r.text, r.type) for r in res.entities.collect()
+    }
+    triples = {}
+    for r in res.triples.collect():
+        triples.setdefault(r.document_id, set()).add(
+            (r.source, r.type, r.target, round(r.confidence, 2), r.date, r.amount)
+        )
+    events = {}
+    for r in res.events.collect():
+        events.setdefault(r.document_id, set()).add(
+            (r.event_type, r.name, tuple(r.participants), r.date, r.amount, r.location, round(r.confidence, 2))
+        )
+    return res, entities, triples, events
+
+
+def t(triples, conv):
+    return triples.get(conv, set())
+
+
+def test_g1_entities_and_no_triples(result):
+    _, entities, triples, _ = result
+    assert ("g1", "Apple", "ORG") in entities  # "Apple Inc." suffix-stripped
+    assert ("g1", "iPhone", "PRODUCT") in entities
+    # R3 fired on raw "Apple Inc." which the validator cannot resolve ->
+    # zero relationships (SURVEY.md §2.6 consequence (b)).
+    assert t(triples, "g1") == set()
+
+
+def test_g1_product_launch_event(result):
+    _, _, _, events = result
+    assert events["g1"] == {
+        ("ProductLaunch", "Apple product launch", ("Apple", "iPhone"), "2007", "$599", None, 0.7)
+    }
+
+
+def test_g2_flagship_triples(result):
+    _, _, triples, _ = result
+    assert t(triples, "g2") == {
+        ("Steve Jobs", "FOUNDED", "Apple", 0.95, "1976", None),
+        ("Apple", "RELEASED", "iPhone", 0.9, "2007", "$599"),
+        ("Tim Cook", "CEO_OF", "Apple", 0.95, None, None),
+        ("Microsoft", "COMPETES_WITH", "Apple", 0.85, None, None),
+    }
+
+
+def test_g3_svo_acquisition(result):
+    _, _, triples, events = result
+    assert t(triples, "g3") == {
+        ("Apple", "ACQUIRED", "Beats", 0.7, "2014", "$3 billion"),
+    }
+    assert events["g3"] == {
+        ("Acquisition", "Apple acquires Beats", ("Apple", "Beats"), "2014", "$3 billion", None, 0.7)
+    }
+
+
+def test_g4_released_and_launch_event(result):
+    _, _, triples, events = result
+    assert t(triples, "g4") == {("Google", "RELEASED", "Android", 0.9, "2008", None)}
+    # both participants are single words -> the name heuristic buckets
+    # them all as orgs -> template falls back (event_extraction.py:177-184)
+    assert events["g4"] == {
+        ("ProductLaunch", "Google product launch", ("Google", "Android"), "2008", None, None, 0.7)
+    }
+
+
+def test_g5_ceo_and_leadership_event(result):
+    _, _, triples, events = result
+    assert t(triples, "g5") == {("Tim Cook", "CEO_OF", "Apple", 0.95, "2011", None)}
+    assert events["g5"] == {
+        ("LeadershipChange", "Tim Cook joins Apple", ("Tim Cook", "Apple"), "2011", None, None, 0.7)
+    }
+
+
+def test_g6_funding_event_only(result):
+    _, _, triples, events = result
+    assert t(triples, "g6") == set()
+    assert events["g6"] == {
+        ("FundingRound", "Microsoft funding round", ("Microsoft",), "last year", "$1 billion", None, 0.7)
+    }
+
+
+def test_g7_founded_and_default_located_in(result):
+    _, _, triples, _ = result
+    assert t(triples, "g7") == {
+        ("Jeff Bezos", "FOUNDED", "Amazon", 0.95, None, None),
+        ("Amazon", "LOCATED_IN", "Seattle", 0.65, None, None),
+    }
+
+
+def test_g8_list_produces_and_force_detect(result):
+    _, entities, triples, _ = result
+    # force-detected Echo becomes an entity with no source sentence
+    assert ("g8", "Echo", "PRODUCT") in entities
+    assert ("g8", "Kindle", "PRODUCT") in entities  # GPE->PRODUCT correction
+    # D1: the unconditional-R3 (0.65) emission precedes the list-pattern
+    # R4 (0.85) for the same key, so the survivor keeps 0.65.
+    assert t(triples, "g8") == {
+        ("Amazon", "PRODUCES", "Kindle", 0.65, None, None),
+        ("Amazon", "PRODUCES", "Fire TV", 0.65, None, None),
+    }
+
+
+def test_g9_competes_with_list(result):
+    _, entities, triples, _ = result
+    assert ("g9", "Alibaba", "ORG") in entities  # GPE->ORG correction
+    assert t(triples, "g9") == {
+        ("Amazon", "COMPETES_WITH", "Microsoft", 0.85, None, None),
+        ("Amazon", "COMPETES_WITH", "Google", 0.85, None, None),
+        ("Amazon", "COMPETES_WITH", "Alibaba", 0.85, None, None),
+    }
+
+
+def test_g10_ceo_of_shadows_former_ceo(result):
+    _, _, triples, _ = result
+    # dict order: CEO_OF's "ceo of" indicator precedes FORMER_CEO_OF's
+    # "was ceo" (relationship_logic.py:17-28) -> both sentences yield CEO_OF
+    assert t(triples, "g10") == {
+        ("Steve Jobs", "CEO_OF", "Apple", 0.95, None, None),
+        ("Tim Cook", "CEO_OF", "Apple", 0.95, None, None),
+    }
+
+
+def test_g11_semantic_rule_rejection(result):
+    _, _, triples, _ = result
+    assert t(triples, "g11") == set()  # PERSON-FOUNDED->PERSON rejected
+
+
+def test_g12_dead_rules_stay_dead(result):
+    _, _, triples, _ = result
+    assert t(triples, "g12") == set()  # OWNS unmapped + co-occurrence fallback
+
+
+def test_g13_suffix_quirk(result):
+    _, _, triples, _ = result
+    # raw "Apple Inc."/"Tesla Corp." endpoints never resolve; only the
+    # cap-run org with no suffix survives.
+    assert t(triples, "g13") == {
+        ("Ford Motors", "LOCATED_IN", "Texas", 0.65, None, None),
+    }
+
+
+def test_graph_tables(result):
+    res, _, _, _ = result
+    nodes = {(r.name, r.type) for r in res.nodes.collect()}
+    assert ("Apple", "ORG") in nodes
+    assert ("Echo", "PRODUCT") in nodes
+    edges = res.edges.collect()
+    edge_keys = {(r.src, r.type, r.dst) for r in edges}
+    assert ("Steve Jobs", "FOUNDED", "Apple") in edge_keys
+    # INVOLVES edges resolve participants against entity nodes by name
+    assert ("Apple acquires Beats", "INVOLVES", "Apple") in edge_keys
+    # every edge endpoint exists as a node (dangling edges dropped)
+    node_names = {n for n, _ in nodes} | {r.src for r in edges if r.type == "INVOLVES"}
+    for r in edges:
+        if r.type != "INVOLVES":
+            assert r.src in {n for n, _ in nodes}
+            assert r.dst in {n for n, _ in nodes}
