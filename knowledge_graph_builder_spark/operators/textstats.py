@@ -1,0 +1,114 @@
+"""Text analysis operators for corpus pipelines: language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+All pure column expressions (codegen'd, SQL-expressible — each has a
+DuckDB oracle in __spark_entry__.py). No UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " die ", " und ", " ist ", " nicht "],
+    "fr": [" le ", " la ", " et ", " les ", " est "],
+    "es": [" el ", " la ", " los ", " que ", " es "],
+}
+
+_EN_STOPWORDS = [
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+]
+
+
+def _padded_lower(col):
+    return F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+
+
+def marker_hits_col(col, lang: str):
+    """Count of language-marker occurrences (not distinct) in the text."""
+    padded = _padded_lower(col)
+    total = F.lit(0)
+    for m in LANG_MARKERS[lang]:
+        # occurrences of m = (len(s) - len(replace(s, m, ''))) / len(m)
+        total = total + (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit("")))) / len(m)
+        ).cast("int")
+    return total
+
+
+def lang_id_col(col):
+    """Pick the language with the most marker hits; 'und' when none."""
+    hits = {lang: marker_hits_col(col, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*hits.values())
+    chain = None
+    for lang in LANG_MARKERS:  # fixed order breaks ties deterministically
+        cond = (hits[lang] == best) & (best > 0)
+        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
+    return chain.otherwise(F.lit("und"))
+
+
+def token_count_col(col):
+    """Whitespace token count."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count_col(col):
+    """BPE-flavored token estimate: count word chunks + digit runs +
+    punctuation marks separately (a regex proxy for subword splits)."""
+    pieces = F.regexp_count(col, F.lit(r"[A-Za-z]+|\d|[^A-Za-z\d\s]"))
+    return pieces.cast("int")
+
+
+def punct_ratio_col(col):
+    return F.regexp_count(col, F.lit(r"[^\w\s]")) / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_ratio_col(col):
+    padded = _padded_lower(F.regexp_replace(col, r"[^\w\s]", ""))
+    hits = F.lit(0)
+    for w in _EN_STOPWORDS:
+        m = f" {w} "
+        hits = hits + (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit("")))) / len(m)
+        ).cast("int")
+    return hits / F.greatest(token_count_col(col), F.lit(1))
+
+
+def quality_score_col(col):
+    """Composite [0,1] quality heuristic: length band + punctuation sanity
+    + stopword presence (Gopher/C4-style cheap filters)."""
+    n_tokens = token_count_col(col)
+    length_ok = F.when((n_tokens >= 5) & (n_tokens <= 10000), F.lit(0.4)).otherwise(F.lit(0.0))
+    punct = punct_ratio_col(col)
+    punct_ok = F.when(punct <= 0.2, F.lit(0.3)).when(punct <= 0.4, F.lit(0.15)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio_col(col) >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    return F.round(length_ok + punct_ok + stop_ok, 2)
+
+
+def fingerprint_col(col):
+    """Deterministic document fingerprint over normalized text (md5 here;
+    the rolling-hash shingle variant lives in dedup.word_shingles +
+    minhash_signatures)."""
+    normalized = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def document_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        lang_id_col(c).alias("lang_guess"),
+        token_count_col(c).alias("n_tokens"),
+        bpe_ish_token_count_col(c).alias("n_bpe_tokens"),
+        F.round(punct_ratio_col(c), 4).alias("punct_ratio"),
+        F.round(stopword_ratio_col(c), 4).alias("stopword_ratio"),
+        quality_score_col(c).alias("quality"),
+        fingerprint_col(c).alias("fingerprint"),
+    )
