@@ -163,13 +163,57 @@ def normalized_name_col(text: Column, ctype: Column) -> Column:
     )
 
 
-def entity_stage(kernel_rows: DataFrame, documents: DataFrame) -> tuple[DataFrame, DataFrame]:
+def force_detect_hits(transcripts: DataFrame) -> DataFrame:
+    """P6 presence scan, computed from TURNS rather than assembled
+    documents: the force-detect products (reference nlp_engine.py:198)
+    contain no whitespace, and turns are joined with a space, so
+    `product in lower(document)` is exactly `any turn contains product`.
+    This keeps P6 a map-side-combinable aggregation — no document
+    assembly (at 10^12 turns the assembled-string groupBy would dominate
+    the whole entity stage).
+
+    Returns (conv_id, product, start_char) with start_char the in-turn
+    position of the first hit (first by turn_idx, then position) — a
+    surrogate for the reference's document-level find() offset, which
+    nothing downstream consumes semantically.
+    """
+    prods = F.explode(F.array(*[F.lit(p) for p in FORCE_DETECT_PRODUCTS])).alias("product")
+    per_turn = transcripts.select("conv_id", "turn_idx", F.lower(F.col("text")).alias("_lt")).select(
+        "conv_id", "turn_idx", "_lt", prods
+    )
+    hits = per_turn.withColumn("pos", F.instr(F.col("_lt"), F.col("product"))).filter(F.col("pos") > 0)
+    first_hit = hits.groupBy("conv_id", "product").agg(
+        F.min(F.struct("turn_idx", "pos")).alias("first")
+    )
+    return first_hit.select(
+        "conv_id", "product", (F.col("first.pos") - 1).cast("int").alias("start_char")
+    )
+
+
+def force_detect_hits_from_documents(documents: DataFrame) -> DataFrame:
+    """P6 presence scan over assembled documents (exact reference offsets;
+    used by the non-fused path and tests)."""
+    prods = F.explode(F.array(*[F.lit(p) for p in FORCE_DETECT_PRODUCTS])).alias("product")
+    cand = documents.select("conv_id", F.lower(F.col("doc_text")).alias("_lt")).select(
+        "conv_id", "_lt", prods
+    )
+    return (
+        cand.withColumn("pos", F.instr(F.col("_lt"), F.col("product")))
+        .filter(F.col("pos") > 0)
+        .select("conv_id", "product", (F.col("pos") - 1).cast("int").alias("start_char"))
+    )
+
+
+def entity_stage(kernel_rows: DataFrame, force_hits: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Kernel rows -> (entities, metadata).
 
     entities: E1 structural filter -> P3 correction -> P2 normalization ->
     E2 first-seen dedup -> P6 force-detect -> E4 whitelist filter.
     metadata: E3 — DATE/MONEY/PERCENT/CARDINAL/ORDINAL rows bucketed with
     their enclosing sentence (reference nlp_engine.py:103-134).
+
+    ``force_hits``: output of force_detect_hits(transcripts) or
+    force_detect_hits_from_documents(documents).
     """
     mentions = kernel_rows.filter(F.col("kind") == "mention")
 
@@ -196,29 +240,23 @@ def entity_stage(kernel_rows: DataFrame, documents: DataFrame) -> tuple[DataFram
     )
 
     # P6 — force-detect products (reference nlp_engine.py:197-214):
-    # substring hit on the lowered document + no case-insensitive name
+    # substring hit (precomputed in force_hits) + no case-insensitive name
     # match among already-extracted (pre-whitelist) entities.
-    force_lits = F.array(*[F.lit(p) for p in FORCE_DETECT_PRODUCTS])
-    candidates = (
-        documents.select("conv_id", F.lower(F.col("doc_text")).alias("_doc_lower"))
-        .select("conv_id", "_doc_lower", F.explode(force_lits).alias("product"))
-        .filter(F.instr(F.col("_doc_lower"), F.col("product")) > 0)
-    )
     existing_names = entities_pre.select(
         F.col("conv_id").alias("_ec"), F.lower(F.col("text")).alias("_lc")
     )
     forced = (
-        candidates.join(
+        force_hits.join(
             existing_names,
-            on=[candidates["conv_id"] == existing_names["_ec"], candidates["product"] == existing_names["_lc"]],
+            on=[force_hits["conv_id"] == existing_names["_ec"], force_hits["product"] == existing_names["_lc"]],
             how="left_anti",
         )
         .select(
             "conv_id",
             F.initcap(F.col("product")).alias("text"),
             F.lit("PRODUCT").alias("type"),
-            (F.instr(F.col("_doc_lower"), F.col("product")) - 1).cast("int").alias("start_char"),
-            (F.instr(F.col("_doc_lower"), F.col("product")) - 1 + F.length("product")).cast("int").alias("end_char"),
+            F.col("start_char"),
+            (F.col("start_char") + F.length("product")).cast("int").alias("end_char"),
             F.concat(F.lit("Force-detected product: "), F.col("product")).alias("context"),
             F.lit("").alias("source_sentence"),
             F.lit(True).alias("is_forced"),

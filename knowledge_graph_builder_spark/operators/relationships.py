@@ -77,9 +77,16 @@ def _contains_any(sent_lower, phrases: list[str]):
     return cond
 
 
-def candidate_relationships(kernel_rows: DataFrame) -> DataFrame:
-    """All rule candidates (pre-dedup, pre-validation), threshold applied."""
+def candidate_relationships(kernel_rows: DataFrame, persist: bool = True) -> DataFrame:
+    """All rule candidates (pre-dedup, pre-validation), threshold applied.
+
+    The ranked mention frame feeds five rule branches; persisting it
+    avoids re-running its rank-window shuffle per branch."""
     mentions = sentence_mentions(kernel_rows)
+    if persist:
+        from pyspark import StorageLevel
+
+        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
     persons = _typed(mentions, "PERSON", "p")
     orgs = _typed(mentions, "ORG", "o")
     gpes = _typed(mentions, "GPE", "g")

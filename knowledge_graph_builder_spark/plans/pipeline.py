@@ -33,6 +33,8 @@ from ..operators.extraction import (
     extract_from_transcripts,
     extract_kernel,
     first_metadata_per_sentence,
+    force_detect_hits,
+    force_detect_hits_from_documents,
 )
 from ..operators.graph import build_edges, build_event_nodes_and_edges, build_nodes
 from ..operators.relationships import extract_relationships
@@ -115,27 +117,45 @@ def run_pipeline(
     run_id: str = "run-0",
     fused: bool = True,
     kernel_partitions: int | None = None,
+    persist: bool = True,
 ) -> PipelineResult:
     """Transcripts -> full knowledge graph.
 
     ``fused=True`` uses the single-shuffle assembly+extraction path;
     ``fused=False`` materializes documents first (useful for debugging and
     for reusing pre-assembled documents).
+
+    ``persist``: kernel_rows / entities / sentence metadata each feed
+    several downstream subtrees (rule branches, validation's two endpoint
+    joins, events); without reuse the Arrow kernel would re-parse every
+    document once per branch. With a checkpoint_dir the parquet stage IS
+    the materialization; otherwise MEMORY_AND_DISK persist serves the
+    same role in-session.
     """
     ckpt = Checkpointer(checkpoint_dir, run_id, spark)
 
-    documents = assemble_conversations(transcripts)
+    def _hold(df: DataFrame) -> DataFrame:
+        if persist and not checkpoint_dir:
+            from pyspark import StorageLevel
+
+            return df.persist(StorageLevel.MEMORY_AND_DISK)
+        return df
+
     if fused:
         kernel_rows = ckpt.stage(
             "kernel_rows", lambda: extract_from_transcripts(transcripts, kernel_partitions)
         )
+        force_hits = force_detect_hits(transcripts)
     else:
+        documents = assemble_conversations(transcripts)
         kernel_rows = ckpt.stage("kernel_rows", lambda: extract_kernel(documents, kernel_partitions))
+        force_hits = force_detect_hits_from_documents(documents)
+    kernel_rows = _hold(kernel_rows)
 
-    ents_and_meta = entity_stage(kernel_rows, documents)
-    entities = ckpt.stage("entities", lambda: ents_and_meta[0])
+    ents_and_meta = entity_stage(kernel_rows, force_hits)
+    entities = _hold(ckpt.stage("entities", lambda: ents_and_meta[0]))
     metadata = ents_and_meta[1]
-    sent_meta = first_metadata_per_sentence(metadata)
+    sent_meta = _hold(first_metadata_per_sentence(metadata))
 
     triples = ckpt.stage(
         "triples",
