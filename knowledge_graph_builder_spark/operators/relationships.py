@@ -53,13 +53,16 @@ def sentence_mentions(kernel_rows: DataFrame) -> DataFrame:
     ).withColumn("type_rank", F.row_number().over(rank_w))
 
 
-def _typed(mentions: DataFrame, ctype: str, alias: str) -> DataFrame:
+def _typed(mentions: DataFrame, ctype: str, alias: str, with_sentence: bool = False) -> DataFrame:
+    """One type bucket. ``sentence`` is functionally determined by
+    (conv_id, sent_idx), so only the LEFT side of each pair join carries
+    it — the join key stays two short columns instead of hashing the full
+    sentence string on both sides."""
+    cols = ["conv_id", "sent_idx"] + (["sentence"] if with_sentence else [])
     return (
         mentions.filter(F.col("ctype") == ctype)
         .select(
-            "conv_id",
-            "sent_idx",
-            "sentence",
+            *cols,
             F.col("text").alias(f"{alias}_text"),
             F.col("type_rank").alias(f"{alias}_rank"),
         )
@@ -87,16 +90,18 @@ def candidate_relationships(kernel_rows: DataFrame, persist: bool = True) -> Dat
         from pyspark import StorageLevel
 
         mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
-    persons = _typed(mentions, "PERSON", "p")
+    persons = _typed(mentions, "PERSON", "p", with_sentence=True)
     orgs = _typed(mentions, "ORG", "o")
+    orgs_s = _typed(mentions, "ORG", "o", with_sentence=True)
     gpes = _typed(mentions, "GPE", "g")
     products = _typed(mentions, "PRODUCT", "pr")
+    join_key = ["conv_id", "sent_idx"]
     key = ["conv_id", "sent_idx", "sentence"]
 
     # R1 — role-based detection over persons x orgs
     # (relationship_logic.py:308-327). 0.95 on indicator hit; the 0.5
     # fallback never crosses the threshold, so misses are dropped here.
-    r1_base = persons.join(orgs, key)
+    r1_base = persons.join(orgs, join_key)
     sl = F.lower(F.col("sentence"))
     r1_type = role_relationship_col(sl, _pos(sl, F.col("p_text")), _pos(sl, F.col("o_text")))
     r1 = (
@@ -119,7 +124,7 @@ def candidate_relationships(kernel_rows: DataFrame, persist: bool = True) -> Dat
     )
 
     # R2 — location detection over orgs x gpes (relationship_logic.py:329-355).
-    r2_base = orgs.join(gpes, key)
+    r2_base = orgs_s.join(gpes, join_key)
     hq = _contains_any(sl, ["headquartered", "headquarters in", "headquartered in"])
     based = _contains_any(sl, ["based in", "located in"])
     r2 = r2_base.select(
@@ -142,7 +147,7 @@ def candidate_relationships(kernel_rows: DataFrame, persist: bool = True) -> Dat
 
     # R3 — production detection over orgs x products
     # (relationship_logic.py:360-389).
-    r3_base = orgs.join(products, key)
+    r3_base = orgs_s.join(products, join_key)
     released = _contains_any(sl, ["released", "launched"])
     produced = _contains_any(sl, ["produced", "manufactures"])
     developed = _contains_any(sl, ["developed", "created"])
@@ -193,12 +198,12 @@ def candidate_relationships(kernel_rows: DataFrame, persist: bool = True) -> Dat
 
     # R5 — competition lists (relationship_logic.py:410-426): first org
     # (sentence position) competes with each later org; directional.
-    primary = orgs.filter(F.col("o_rank") == 1).select(
+    primary = orgs_s.filter(F.col("o_rank") == 1).select(
         "conv_id", "sent_idx", "sentence", F.col("o_text").alias("primary_text")
     )
     others = orgs.filter(F.col("o_rank") >= 2)
     r5 = (
-        primary.join(others, key)
+        primary.join(others, join_key)
         .filter(_contains_any(sl, ["competes with", "competitors like", "rivals like", "competing with"]))
         .select(
             *key,

@@ -157,11 +157,13 @@ def run_pipeline(
     metadata = ents_and_meta[1]
     sent_meta = _hold(first_metadata_per_sentence(metadata))
 
-    triples = ckpt.stage(
-        "triples",
-        lambda: to_triples(
-            validate_relationships(extract_relationships(kernel_rows, sent_meta), entities)
-        ),
+    triples = _hold(
+        ckpt.stage(
+            "triples",
+            lambda: to_triples(
+                validate_relationships(extract_relationships(kernel_rows, sent_meta), entities)
+            ),
+        )
     )
     events = ckpt.stage("events", lambda: extract_events(kernel_rows, entities, sent_meta))
 
