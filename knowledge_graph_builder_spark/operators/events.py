@@ -56,7 +56,8 @@ def _required_ok_col():
 def extract_events(kernel_rows: DataFrame, entities: DataFrame, sentence_metadata: DataFrame) -> DataFrame:
     """kernel sentences + final entities + per-sentence metadata -> events."""
     sentences = (
-        kernel_rows.select("conv_id", "sent_idx", "sentence")
+        kernel_rows.filter(F.col("kind") != "cand")  # cand rows carry no sentence text
+        .select("conv_id", "sent_idx", "sentence")
         .groupBy("conv_id", "sentence")
         .agg(F.min("sent_idx").alias("sent_idx"))
     )

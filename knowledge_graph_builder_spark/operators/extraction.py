@@ -50,9 +50,31 @@ def _rows_for_document(conv_id: str, text: str) -> Iterator[tuple]:
     parsed = textkit.parse_document(text or "", MAX_TEXT_LENGTH)
     sent_text = {i: s for i, (s, _start) in enumerate(parsed.sentences)}
     for sent_idx, m in parsed.mentions:
-        yield (conv_id, sent_idx, sent_text[sent_idx], "mention", m.text, m.label, None, None, m.start, m.end)
+        ctype = textkit.correct_entity_type(m.text, m.label)
+        norm = textkit.normalize_entity_name(m.text, ctype)
+        yield (conv_id, sent_idx, sent_text[sent_idx], "mention", m.text, m.label, ctype, norm,
+               None, None, m.start, m.end, None, None, None, None, None, None, None)
     for sent_idx, s in parsed.svos:
-        yield (conv_id, sent_idx, sent_text[sent_idx], "svo", s.subj, s.verb_lemma, s.obj, s.order, None, None)
+        yield (conv_id, sent_idx, sent_text[sent_idx], "svo", s.subj, s.verb_lemma, None, None,
+               s.obj, s.order, None, None, None, None, None, None, None, None, None)
+    # sentence-local rule candidates (see textkit.extract_rule_candidates):
+    # computed here because every input they need is already in hand —
+    # zero-shuffle at any scale. sentence='' keeps candidate rows narrow;
+    # consumers re-attach text via (conv_id, sent_idx).
+    by_sent_m: dict[int, list] = {}
+    for sent_idx, m in parsed.mentions:
+        by_sent_m.setdefault(sent_idx, []).append(m)
+    by_sent_s: dict[int, list] = {}
+    for sent_idx, s in parsed.svos:
+        by_sent_s.setdefault(sent_idx, []).append(s)
+    for sent_idx in sorted(set(by_sent_m) | set(by_sent_s)):
+        cands = textkit.extract_rule_candidates(
+            sent_text[sent_idx], by_sent_m.get(sent_idx, []), by_sent_s.get(sent_idx, [])
+        )
+        for c in cands:
+            yield (conv_id, sent_idx, "", "cand", c.source, c.rtype, None, None,
+                   c.target, None, None, None, c.confidence, c.reason, c.verb,
+                   c.rule_pri, c.ord_a, c.ord_b, c.attach_metadata)
 
 
 def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -226,9 +248,12 @@ def entity_stage(kernel_rows: DataFrame, force_hits: DataFrame) -> tuple[DataFra
     """
     mentions = kernel_rows.filter(F.col("kind") == "mention")
 
-    structural = mentions.filter(F.col("label").isin(STRUCTURAL_TYPES))  # E1
-    typed = structural.withColumn("type", corrected_type_col(F.col("text"), F.col("label")))
-    named = typed.withColumn("norm_text", normalized_name_col(F.col("text"), F.col("type")))
+    # E1 structural filter; P3/P2 (type correction + name normalization)
+    # arrive precomputed from the kernel as ctype/norm_text — plain column
+    # reads, evaluated zero times JVM-side.
+    named = mentions.filter(F.col("label").isin(STRUCTURAL_TYPES)).withColumn(
+        "type", F.col("ctype")
+    )
 
     # P6 candidate-name set, taken BEFORE the E2 window: dedup keeps first
     # occurrences but never changes the per-document name SET, and an

@@ -37,7 +37,11 @@ from ..operators.extraction import (
     force_detect_hits_from_documents,
 )
 from ..operators.graph import build_edges, build_event_nodes_and_edges, build_nodes
-from ..operators.relationships import extract_relationships
+from ..operators.relationships import (
+    attach_sentence_and_metadata,
+    candidates_from_kernel,
+    dedup_relationships,
+)
 from ..operators.validation import to_triples, validate_relationships
 
 
@@ -150,6 +154,16 @@ def run_pipeline(
         documents = assemble_conversations(transcripts)
         kernel_rows = ckpt.stage("kernel_rows", lambda: extract_kernel(documents, kernel_partitions))
         force_hits = force_detect_hits_from_documents(documents)
+    # Re-establish hash(conv_id) partitioning after the Arrow kernel
+    # (mapInPandas output partitioning is unknown to Catalyst). Every
+    # downstream window/join/groupBy clusters on a conv_id-prefixed key,
+    # and hash partitioning on a SUBSET of the clustering keys satisfies
+    # ClusteredDistribution — so this one exchange replaces a re-shuffle
+    # per window/join in the whole relationship/validation/event subtree.
+    if kernel_partitions:
+        kernel_rows = kernel_rows.repartition(kernel_partitions, "conv_id")
+    else:
+        kernel_rows = kernel_rows.repartition("conv_id")
     kernel_rows = _hold(kernel_rows)
 
     ents_and_meta = entity_stage(kernel_rows, force_hits)
@@ -157,11 +171,23 @@ def run_pipeline(
     metadata = ents_and_meta[1]
     sent_meta = _hold(first_metadata_per_sentence(metadata))
 
+    # Lean order: the kernel's sentence-local candidates (zero extra
+    # shuffles) -> D1 -> V2 validation, all on narrow sentence-free rows;
+    # the sentence text + R9 metadata joins touch only the validated
+    # survivors. Output identical to extract_relationships → validate
+    # (parity-tested; validation neither reads nor filters
+    # sentence/date/amount).
     triples = _hold(
         ckpt.stage(
             "triples",
             lambda: to_triples(
-                validate_relationships(extract_relationships(kernel_rows, sent_meta), entities)
+                attach_sentence_and_metadata(
+                    validate_relationships(
+                        dedup_relationships(candidates_from_kernel(kernel_rows)), entities
+                    ),
+                    kernel_rows,
+                    sent_meta,
+                )
             ),
         )
     )

@@ -30,9 +30,17 @@ DOCUMENTS = T.StructType(
     ]
 )
 
-# Output of the one-pass extraction kernel. Two row kinds share the frame:
-#   kind='mention': text/label/start_char/end_char set, obj/svo_ord null
+# Output of the one-pass extraction kernel. Three row kinds share the frame:
+#   kind='mention': text/label/ctype/norm_text/start_char/end_char set
 #   kind='svo':     text=subject, label=verb lemma, obj=object, svo_ord set
+#   kind='cand':    sentence-local rule candidate (R1-R5 + scored SVO):
+#                   text=source, obj=target, label=relationship type,
+#                   conf/reason/verb/pri/orda/ordb/attach set, sentence ''
+# ctype/norm_text are the P3-corrected type and P2-normalized name,
+# computed in the kernel (once per mention) so the JVM never re-evaluates
+# the lexicon/suffix chains in every consumer expression. Candidate rows
+# carry no sentence text — downstream joins use (conv_id, sent_idx) and
+# re-attach the string only after dedup + validation.
 KERNEL_ROWS = T.StructType(
     [
         T.StructField("conv_id", T.StringType(), False),
@@ -41,10 +49,19 @@ KERNEL_ROWS = T.StructType(
         T.StructField("kind", T.StringType(), False),
         T.StructField("text", T.StringType(), True),
         T.StructField("label", T.StringType(), True),
+        T.StructField("ctype", T.StringType(), True),
+        T.StructField("norm_text", T.StringType(), True),
         T.StructField("obj", T.StringType(), True),
         T.StructField("svo_ord", T.IntegerType(), True),
         T.StructField("start_char", T.IntegerType(), True),
         T.StructField("end_char", T.IntegerType(), True),
+        T.StructField("conf", T.DoubleType(), True),
+        T.StructField("reason", T.StringType(), True),
+        T.StructField("verb", T.StringType(), True),
+        T.StructField("pri", T.IntegerType(), True),
+        T.StructField("orda", T.IntegerType(), True),
+        T.StructField("ordb", T.IntegerType(), True),
+        T.StructField("attach", T.BooleanType(), True),
     ]
 )
 

@@ -32,7 +32,18 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-from .rules import VERB_TO_RELATIONSHIP
+from .rules import (
+    GPE_ABBREVIATIONS,
+    HIGH_CONFIDENCE_VERBS,
+    KNOWN_COMPANIES,
+    KNOWN_PRODUCTS,
+    MIN_CONFIDENCE_THRESHOLD,
+    ORG_SUFFIXES,
+    ROLE_INDICATOR_MAX_DISTANCE,
+    ROLE_INDICATOR_PAIRS,
+    STRONG_INDICATORS,
+    VERB_TO_RELATIONSHIP,
+)
 
 # ---------------------------------------------------------------------------
 # Cleaning (reference nlp_engine.py:22-27)
@@ -44,6 +55,47 @@ _WS_RE = re.compile(r"\s+")
 def clean_text(text: str) -> str:
     """Collapse all whitespace runs to single spaces and strip."""
     return _WS_RE.sub(" ", text).strip()
+
+
+# ---------------------------------------------------------------------------
+# P3 type correction / P2 name normalization (reference nlp_engine.py:29-101)
+#
+# These run inside the kernel, once per mention, so the JVM side never
+# re-evaluates the lexicon `when` chains or the 8-step suffix-strip regex
+# chain (which Catalyst would otherwise duplicate into every window key
+# and projection that references the column). The equivalent relational
+# operators (operators/extraction.corrected_type_col / normalized_name_col)
+# remain the public §2 operator surface and are pinned by tests to agree
+# with these.
+# ---------------------------------------------------------------------------
+
+_KNOWN_PRODUCTS = frozenset(KNOWN_PRODUCTS)
+_KNOWN_COMPANIES = frozenset(KNOWN_COMPANIES)
+
+
+def correct_entity_type(text: str, label: str) -> str:
+    """Lexicon override: known products win (any label), then known
+    companies rescue GPE mislabels (reference nlp_engine.py:55-101)."""
+    key = text.lower().strip()
+    if key in _KNOWN_PRODUCTS:
+        return "PRODUCT"
+    if label == "GPE" and key in _KNOWN_COMPANIES:
+        return "ORG"
+    return label
+
+
+def normalize_entity_name(text: str, ctype: str) -> str:
+    """Sequential suffix strip for ORG/GPE (each of the 8 suffixes tested
+    in order against the result of the previous strip), then GPE
+    abbreviation expansion (reference nlp_engine.py:29-53)."""
+    normalized = text.strip()
+    if ctype in ("ORG", "GPE"):
+        for suffix in ORG_SUFFIXES:
+            if normalized.endswith(suffix):
+                normalized = normalized[: -len(suffix)].strip()
+    if ctype == "GPE":
+        normalized = GPE_ABBREVIATIONS.get(normalized, normalized)
+    return normalized
 
 
 # ---------------------------------------------------------------------------
@@ -531,6 +583,193 @@ def _expand_determiners(sentence: str, m: Mention, sent_start: int) -> str:
         det = words[-1]
         return f"{det} {m.text}"
     return m.text
+
+
+# ---------------------------------------------------------------------------
+# Sentence-local rule candidates (R1-R5 + scored SVO)
+#
+# The reference applies these rules per sentence over in-memory entity
+# lists (relationship_logic.py:258-330) — the logic is sentence-LOCAL, so
+# at scale the cheapest place to run it is inside the same Arrow kernel
+# pass that already holds each sentence's mentions: zero extra shuffles,
+# embarrassingly parallel. The relational formulation
+# (operators/relationships.candidate_relationships — per-sentence
+# self-joins) remains the documented §2 operator surface; a parity test
+# pins both paths to identical output, and everything global (D1 dedup,
+# V2 validation, R9 metadata) stays relational downstream of either.
+# ---------------------------------------------------------------------------
+
+_HQ_PHRASES = ["headquartered", "headquarters in", "headquartered in"]
+_BASED_PHRASES = ["based in", "located in"]
+_RELEASED_PHRASES = ["released", "launched"]
+_PRODUCED_PHRASES = ["produced", "manufactures"]
+_DEVELOPED_PHRASES = ["developed", "created"]
+_LIST_PHRASES = ["such as", "including", "like"]
+_COMPETE_PHRASES = ["competes with", "competitors like", "rivals like", "competing with"]
+_STRONG_INDICATORS_LOWER = [s.lower() for s in STRONG_INDICATORS]
+_HIGH_CONF_VERBS = frozenset(HIGH_CONFIDENCE_VERBS)
+
+
+@dataclass
+class RuleCandidate:
+    source: str
+    target: str
+    rtype: str
+    reason: str
+    confidence: float
+    verb: str | None
+    strat_group: int
+    rule_pri: int
+    ord_a: int
+    ord_b: int
+    attach_metadata: bool
+
+
+def _svo_confidence(subj: str, obj: str, verb: str, sl: str) -> float:
+    """R7 (reference relationship_logic.py:106-147): base 0.5, +0.3 for a
+    high-confidence verb, +0.3 if any strong indicator occurs, ±distance
+    term from first-occurrence positions, clamped to [0, 1]."""
+    conf = 0.5
+    if verb.lower() in _HIGH_CONF_VERBS:
+        conf += 0.3
+    if any(ind in sl for ind in _STRONG_INDICATORS_LOWER):
+        conf += 0.3
+    p1 = sl.find(subj.lower())
+    p2 = sl.find(obj.lower())
+    if p1 >= 0 and p2 >= 0:
+        dist = abs(p1 - p2)
+        if dist < 30:
+            conf += 0.2
+        elif dist > 100:
+            conf -= 0.1
+    return min(1.0, max(0.0, conf))
+
+
+def extract_rule_candidates(
+    sentence: str, mentions: list[Mention], svos: list[SvoCandidate]
+) -> list[RuleCandidate]:
+    """All rule candidates of one sentence, thresholded at 0.6.
+
+    Bucket ranks (ord_a/ord_b) are 1-based positions within the sentence's
+    per-type entity lists in document order — identical to the relational
+    path's row_number window over start_char."""
+    sl = sentence.lower()
+    out: list[RuleCandidate] = []
+
+    persons: list[Mention] = []
+    orgs: list[Mention] = []
+    gpes: list[Mention] = []
+    products: list[Mention] = []
+    for m in mentions:
+        ctype = correct_entity_type(m.text, m.label)
+        if ctype == "PERSON":
+            persons.append(m)
+        elif ctype == "ORG":
+            orgs.append(m)
+        elif ctype == "GPE":
+            gpes.append(m)
+        elif ctype == "PRODUCT":
+            products.append(m)
+
+    find_cache: dict[str, int] = {}
+
+    def fpos(text: str) -> int:
+        key = text.lower()
+        p = find_cache.get(key)
+        if p is None:
+            p = sl.find(key)
+            find_cache[key] = p
+        return p
+
+    # R1 — role-based detection (relationship_logic.py:149-174): first
+    # indicator in dict-then-list order that is present AND within 80
+    # chars of both entity first-occurrence positions.
+    if persons and orgs:
+        ind_pos = [(rel, sl.find(ind)) for rel, ind in ROLE_INDICATOR_PAIRS]
+        for pi, p in enumerate(persons, 1):
+            pp = fpos(p.text)
+            for oi, o in enumerate(orgs, 1):
+                op = fpos(o.text)
+                for rel_type, ip in ind_pos:
+                    if ip < 0:
+                        continue
+                    if pp >= 0 and op >= 0 and max(abs(ip - pp), abs(ip - op)) < ROLE_INDICATOR_MAX_DISTANCE:
+                        out.append(RuleCandidate(
+                            p.text, o.text, rel_type,
+                            f"Role-based detection: {p.text} → {rel_type} → {o.text}",
+                            0.95, None, 0, 1, pi, oi, True,
+                        ))
+                        break
+
+    # R2 — location detection (relationship_logic.py:329-355).
+    if orgs and gpes:
+        f_hq = any(ph in sl for ph in _HQ_PHRASES)
+        f_based = any(ph in sl for ph in _BASED_PHRASES)
+        rtype = "HEADQUARTERED_IN" if f_hq else "LOCATED_IN"
+        conf = 0.95 if f_hq else (0.85 if f_based else 0.65)
+        for oi, o in enumerate(orgs, 1):
+            for gi, g in enumerate(gpes, 1):
+                out.append(RuleCandidate(
+                    o.text, g.text, rtype,
+                    f"Location detection: {o.text} → {rtype} → {g.text}",
+                    conf, None, 0, 2, oi, gi, False,
+                ))
+
+    # R3/R4 — production detection + list-pattern PRODUCES
+    # (relationship_logic.py:360-408).
+    if orgs and products:
+        f_released = any(ph in sl for ph in _RELEASED_PHRASES)
+        f_produced = any(ph in sl for ph in _PRODUCED_PHRASES)
+        f_developed = any(ph in sl for ph in _DEVELOPED_PHRASES)
+        f_list = any(ph in sl for ph in _LIST_PHRASES)
+        if f_released:
+            rtype, conf = "RELEASED", 0.9
+        elif f_produced:
+            rtype, conf = "PRODUCES", 0.9
+        elif f_developed:
+            rtype, conf = "DEVELOPS", 0.85
+        else:
+            rtype, conf = "PRODUCES", 0.65
+        for oi, o in enumerate(orgs, 1):
+            for pri_, pr in enumerate(products, 1):
+                out.append(RuleCandidate(
+                    o.text, pr.text, rtype,
+                    f"Production detection: {o.text} → {rtype} → {pr.text}",
+                    conf, None, 0, 3, oi, pri_, True,
+                ))
+                if f_list:
+                    out.append(RuleCandidate(
+                        o.text, pr.text, "PRODUCES",
+                        f"List-based production: {o.text} → PRODUCES → {pr.text}",
+                        0.85, None, 0, 4, oi, pri_, True,
+                    ))
+
+    # R5 — competition lists (relationship_logic.py:410-426): the first
+    # org competes with each later org; directional.
+    if len(orgs) >= 2 and any(ph in sl for ph in _COMPETE_PHRASES):
+        primary = orgs[0]
+        for oi, other in enumerate(orgs[1:], 2):
+            out.append(RuleCandidate(
+                primary.text, other.text, "COMPETES_WITH",
+                f"Competition detection: {primary.text} ← → COMPETES_WITH → {other.text}",
+                0.85, None, 0, 5, oi, 0, False,
+            ))
+
+    # R6/R7/R8 — SVO candidates through the verb map, confidence-scored.
+    for s in svos:
+        rtype = VERB_TO_RELATIONSHIP.get(s.verb_lemma)
+        if rtype is None:
+            continue
+        conf = _svo_confidence(s.subj, s.obj, s.verb_lemma, sl)
+        if conf < MIN_CONFIDENCE_THRESHOLD:
+            continue
+        out.append(RuleCandidate(
+            s.subj, s.obj, rtype,
+            f"SVO pattern: '{s.subj}' {s.verb_lemma} '{s.obj}'",
+            conf, s.verb_lemma, 1, 6, s.order, 0, True,
+        ))
+
+    return [c for c in out if c.confidence >= MIN_CONFIDENCE_THRESHOLD]
 
 
 # ---------------------------------------------------------------------------
