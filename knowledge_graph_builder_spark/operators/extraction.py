@@ -46,47 +46,65 @@ from .assembly import TURN_SEPARATOR
 _KERNEL_COLS = [f.name for f in KERNEL_ROWS.fields]
 
 
-def _rows_for_document(conv_id: str, text: str) -> Iterator[tuple]:
-    parsed = textkit.parse_document(text or "", MAX_TEXT_LENGTH)
-    sent_text = {i: s for i, (s, _start) in enumerate(parsed.sentences)}
-    for sent_idx, m in parsed.mentions:
-        ctype = textkit.correct_entity_type(m.text, m.label)
-        norm = textkit.normalize_entity_name(m.text, ctype)
-        yield (conv_id, sent_idx, sent_text[sent_idx], "mention", m.text, m.label, ctype, norm,
-               None, None, m.start, m.end, None, None, None, None, None, None, None)
-    for sent_idx, s in parsed.svos:
-        yield (conv_id, sent_idx, sent_text[sent_idx], "svo", s.subj, s.verb_lemma, None, None,
-               s.obj, s.order, None, None, None, None, None, None, None, None, None)
-    # sentence-local rule candidates (see textkit.extract_rule_candidates):
-    # computed here because every input they need is already in hand —
-    # zero-shuffle at any scale. sentence='' keeps candidate rows narrow;
-    # consumers re-attach text via (conv_id, sent_idx).
-    by_sent_m: dict[int, list] = {}
-    for sent_idx, m in parsed.mentions:
-        by_sent_m.setdefault(sent_idx, []).append(m)
-    by_sent_s: dict[int, list] = {}
-    for sent_idx, s in parsed.svos:
-        by_sent_s.setdefault(sent_idx, []).append(s)
-    for sent_idx in sorted(set(by_sent_m) | set(by_sent_s)):
-        cands = textkit.extract_rule_candidates(
-            sent_text[sent_idx], by_sent_m.get(sent_idx, []), by_sent_s.get(sent_idx, [])
-        )
-        for c in cands:
+# Emission sets for the kernel. ANALYSIS = parse artifacts consumed by the
+# relational operator path; GRAPH = finished per-document outputs consumed
+# by the single-shuffle fast path (plans/pipeline.py).
+EMIT_ANALYSIS = frozenset({"mention", "svo", "cand"})
+EMIT_GRAPH = frozenset({"entity", "triple", "event"})
+EMIT_ALL = EMIT_ANALYSIS | EMIT_GRAPH
+
+def _rows_for_document(conv_id: str, text: str, emit: frozenset = EMIT_ALL) -> Iterator[tuple]:
+    an = textkit.analyze_document(text or "", MAX_TEXT_LENGTH)
+    sent_text = {i: s for i, (s, _start) in enumerate(an.sentences)}
+    if "mention" in emit:
+        for sent_idx, m in an.mentions:
+            ctype = textkit.correct_entity_type(m.text, m.label)
+            norm = textkit.normalize_entity_name(m.text, ctype)
+            yield (conv_id, sent_idx, sent_text[sent_idx], "mention", m.text, m.label, ctype, norm,
+                   None, None, m.start, m.end) + (None,) * 12
+    if "svo" in emit:
+        for sent_idx, s in an.svos:
+            yield (conv_id, sent_idx, sent_text[sent_idx], "svo", s.subj, s.verb_lemma, None, None,
+                   s.obj, s.order) + (None,) * 14
+    if "cand" in emit:
+        # sentence='' keeps candidate rows narrow; consumers re-attach
+        # text via (conv_id, sent_idx).
+        for sent_idx, c in an.candidates:
             yield (conv_id, sent_idx, "", "cand", c.source, c.rtype, None, None,
                    c.target, None, None, None, c.confidence, c.reason, c.verb,
-                   c.rule_pri, c.ord_a, c.ord_b, c.attach_metadata)
+                   c.rule_pri, c.ord_a, c.ord_b, c.attach_metadata) + (None,) * 5
+    if "entity" in emit:
+        for e in an.graph.entities:
+            yield (conv_id, e.sent_idx, e.source_sentence, "entity", e.text, e.etype, None, None,
+                   None, None, e.start, e.end, None, e.context, None, None, None, None, None,
+                   e.is_forced, None, None, None, None)
+    if "triple" in emit:
+        for t in an.graph.triples:
+            yield (conv_id, t.sent_idx, t.sentence, "triple", t.source, t.rtype, None, None,
+                   t.target, None, None, None, t.confidence, t.reason, t.verb, None, None, None,
+                   None, None, t.date, t.amount, None, None)
+    if "event" in emit:
+        for ev in an.graph.events:
+            yield (conv_id, ev.sent_idx, ev.context, "event", ev.name, ev.event_type, None, None,
+                   None, None, None, None, ev.confidence, None, None, None, None, None, None,
+                   None, ev.date, ev.amount, ev.location, ev.participants)
 
 
-def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        rows = []
-        for conv_id, text in zip(pdf["conv_id"], pdf["doc_text"]):
-            rows.extend(_rows_for_document(conv_id, text))
-        yield pd.DataFrame(rows, columns=_KERNEL_COLS)
+def _make_kernel(emit: frozenset):
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for conv_id, text in zip(pdf["conv_id"], pdf["doc_text"]):
+                rows.extend(_rows_for_document(conv_id, text, emit))
+            yield pd.DataFrame(rows, columns=_KERNEL_COLS)
+
+    return _kernel
 
 
-def extract_kernel(documents: DataFrame, parallelism: int | None = None) -> DataFrame:
-    """documents(conv_id, doc_text) -> kernel rows (mentions + SVO).
+def extract_kernel(
+    documents: DataFrame, parallelism: int | None = None, emit: frozenset = EMIT_ALL
+) -> DataFrame:
+    """documents(conv_id, doc_text) -> kernel rows.
 
     ``repartition`` before the kernel spreads documents evenly across
     executors regardless of upstream partitioning (conversation sizes are
@@ -96,55 +114,108 @@ def extract_kernel(documents: DataFrame, parallelism: int | None = None) -> Data
     docs = documents.select("conv_id", "doc_text")
     if parallelism:
         docs = docs.repartition(parallelism)
-    return docs.mapInPandas(_kernel, schema=KERNEL_ROWS)
+    return docs.mapInPandas(_make_kernel(emit), schema=KERNEL_ROWS)
 
 
 _EMIT_EVERY = 50_000  # kernel rows buffered before an Arrow batch is emitted
 
 
-def _fused_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Streaming group-by over (conv_id)-clustered, turn-ordered batches.
+def _make_fused_kernel(emit: frozenset):
+    def _fused_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Streaming group-by over (conv_id)-clustered, turn-ordered batches.
 
-    Rows arrive sorted by (conv_id, turn_idx) within the partition, so a
-    conversation is a run of consecutive rows; runs can span Arrow batch
-    boundaries, hence the carry buffer. Output rows accumulate in one flat
-    tuple buffer and are emitted as large Arrow batches — building one
-    pandas frame per conversation (tiny frames + concat) costs more than
-    the parse itself.
-    """
-    cur_conv: str | None = None
-    cur_parts: list[str] = []
-    cur_len = 0
-    rows: list[tuple] = []
+        Rows arrive sorted by (conv_id, turn_idx) within the partition, so
+        a conversation is a run of consecutive rows; runs can span Arrow
+        batch boundaries, hence the carry buffer. Output rows accumulate
+        in one flat tuple buffer and are emitted as large Arrow batches —
+        building one pandas frame per conversation (tiny frames + concat)
+        costs more than the parse itself.
+        """
+        cur_conv: str | None = None
+        cur_parts: list[str] = []
+        cur_len = 0
+        rows: list[tuple] = []
 
-    def flush() -> None:
-        text = TURN_SEPARATOR.join(cur_parts)
-        rows.extend(_rows_for_document(cur_conv, text))
+        def flush() -> None:
+            text = TURN_SEPARATOR.join(cur_parts)
+            rows.extend(_rows_for_document(cur_conv, text, emit))
 
-    for pdf in batches:
-        for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
-            if conv_id != cur_conv:
-                if cur_conv is not None:
-                    flush()
-                cur_conv, cur_parts, cur_len = conv_id, [], 0
-            if cur_len < MAX_TEXT_LENGTH:  # document guard, applied during assembly
-                cur_parts.append(text or "")
-                cur_len += len(text or "") + 1
-        if len(rows) >= _EMIT_EVERY:
+        for pdf in batches:
+            for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
+                if conv_id != cur_conv:
+                    if cur_conv is not None:
+                        flush()
+                    cur_conv, cur_parts, cur_len = conv_id, [], 0
+                if cur_len < MAX_TEXT_LENGTH:  # document guard, applied during assembly
+                    cur_parts.append(text or "")
+                    cur_len += len(text or "") + 1
+            if len(rows) >= _EMIT_EVERY:
+                yield pd.DataFrame(rows, columns=_KERNEL_COLS)
+                rows = []
+        if cur_conv is not None:
+            flush()
+        if rows:
             yield pd.DataFrame(rows, columns=_KERNEL_COLS)
-            rows = []
-    if cur_conv is not None:
-        flush()
-    if rows:
-        yield pd.DataFrame(rows, columns=_KERNEL_COLS)
+
+    return _fused_kernel
 
 
-def extract_from_transcripts(transcripts: DataFrame, partitions: int | None = None) -> DataFrame:
+def extract_from_transcripts(
+    transcripts: DataFrame, partitions: int | None = None, emit: frozenset = EMIT_ALL
+) -> DataFrame:
     """Fused assembly+extraction: transcripts -> kernel rows, one shuffle."""
     t = transcripts.select("conv_id", "turn_idx", "text")
     t = t.repartition(partitions, "conv_id") if partitions else t.repartition("conv_id")
     t = t.sortWithinPartitions("conv_id", "turn_idx")
-    return t.mapInPandas(_fused_kernel, schema=KERNEL_ROWS)
+    return t.mapInPandas(_make_fused_kernel(emit), schema=KERNEL_ROWS)
+
+
+# ---------------------------------------------------------------------------
+# Projections of the kernel's FINAL per-document rows onto the public
+# table schemas (fast path: zero joins, zero windows downstream).
+# ---------------------------------------------------------------------------
+
+
+def entities_from_kernel(kernel_rows: DataFrame) -> DataFrame:
+    return kernel_rows.filter(F.col("kind") == "entity").select(
+        "conv_id",
+        "text",
+        F.col("label").alias("type"),
+        "start_char",
+        "end_char",
+        F.col("reason").alias("context"),
+        F.col("sentence").alias("source_sentence"),
+        F.col("forced").alias("is_forced"),
+    )
+
+
+def triples_from_kernel(kernel_rows: DataFrame) -> DataFrame:
+    return kernel_rows.filter(F.col("kind") == "triple").select(
+        F.col("conv_id").alias("document_id"),
+        F.col("text").alias("source"),
+        F.col("obj").alias("target"),
+        F.col("label").alias("type"),
+        "reason",
+        F.col("conf").alias("confidence"),
+        "verb",
+        F.col("sentence").alias("source_sentence"),
+        F.col("mdate").alias("date"),
+        F.col("mamount").alias("amount"),
+    )
+
+
+def events_from_kernel(kernel_rows: DataFrame) -> DataFrame:
+    return kernel_rows.filter(F.col("kind") == "event").select(
+        F.col("conv_id").alias("document_id"),
+        F.col("label").alias("event_type"),
+        F.col("text").alias("name"),
+        F.col("parts").alias("participants"),
+        F.col("mdate").alias("date"),
+        "location",
+        F.col("mamount").alias("amount"),
+        F.col("sentence").alias("context"),
+        F.col("conf").alias("confidence"),
+    )
 
 
 # ---------------------------------------------------------------------------

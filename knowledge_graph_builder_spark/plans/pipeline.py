@@ -29,17 +29,21 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.assembly import assemble_conversations
 from ..operators.events import extract_events
 from ..operators.extraction import (
+    EMIT_ANALYSIS,
+    EMIT_GRAPH,
+    entities_from_kernel,
     entity_stage,
+    events_from_kernel,
     extract_from_transcripts,
     extract_kernel,
     first_metadata_per_sentence,
-    force_detect_hits,
     force_detect_hits_from_documents,
+    triples_from_kernel,
 )
 from ..operators.graph import build_edges, build_event_nodes_and_edges, build_nodes
 from ..operators.relationships import (
     attach_sentence_and_metadata,
-    candidates_from_kernel,
+    candidate_relationships,
     dedup_relationships,
 )
 from ..operators.validation import to_triples, validate_relationships
@@ -125,16 +129,24 @@ def run_pipeline(
 ) -> PipelineResult:
     """Transcripts -> full knowledge graph.
 
-    ``fused=True`` uses the single-shuffle assembly+extraction path;
-    ``fused=False`` materializes documents first (useful for debugging and
-    for reusing pre-assembled documents).
+    ``fused=True`` (the scale path): ONE shuffle clusters turns by
+    conv_id; the Arrow kernel assembles each conversation and emits the
+    FINISHED per-document entities/triples/events (every reference
+    pipeline stage except the graph MERGE is document-local — SURVEY.md
+    §3.1). Downstream there are no joins or windows until the genuinely
+    global graph dedup (D3/D4) and canonicalization.
 
-    ``persist``: kernel_rows / entities / sentence metadata each feed
-    several downstream subtrees (rule branches, validation's two endpoint
-    joins, events); without reuse the Arrow kernel would re-parse every
-    document once per branch. With a checkpoint_dir the parquet stage IS
-    the materialization; otherwise MEMORY_AND_DISK persist serves the
-    same role in-session.
+    ``fused=False`` (the relational operator path): materializes assembled
+    documents, then composes the §2 operators — entity_stage,
+    candidate_relationships (per-sentence self-joins), D1 window, V2
+    validation joins, relational event extraction. Byte-identical output
+    (pinned by tests/test_pipeline_parity.py); useful for debugging,
+    operator-level reuse, and as the semantics oracle.
+
+    ``persist``: in the fused path only kernel_rows is held (everything
+    else is a filter of it); in the relational path the shared frames are
+    held so branches don't re-run the kernel. With a checkpoint_dir the
+    parquet stage IS the materialization.
     """
     ckpt = Checkpointer(checkpoint_dir, run_id, spark)
 
@@ -146,52 +158,41 @@ def run_pipeline(
         return df
 
     if fused:
-        kernel_rows = ckpt.stage(
-            "kernel_rows", lambda: extract_from_transcripts(transcripts, kernel_partitions)
+        kernel_rows = _hold(
+            ckpt.stage(
+                "kernel_rows",
+                lambda: extract_from_transcripts(transcripts, kernel_partitions, emit=EMIT_GRAPH),
+            )
         )
-        force_hits = force_detect_hits(transcripts)
+        entities = ckpt.stage("entities", lambda: entities_from_kernel(kernel_rows))
+        triples = ckpt.stage("triples", lambda: triples_from_kernel(kernel_rows))
+        events = ckpt.stage("events", lambda: events_from_kernel(kernel_rows))
     else:
         documents = assemble_conversations(transcripts)
-        kernel_rows = ckpt.stage("kernel_rows", lambda: extract_kernel(documents, kernel_partitions))
-        force_hits = force_detect_hits_from_documents(documents)
-    # Re-establish hash(conv_id) partitioning after the Arrow kernel
-    # (mapInPandas output partitioning is unknown to Catalyst). Every
-    # downstream window/join/groupBy clusters on a conv_id-prefixed key,
-    # and hash partitioning on a SUBSET of the clustering keys satisfies
-    # ClusteredDistribution — so this one exchange replaces a re-shuffle
-    # per window/join in the whole relationship/validation/event subtree.
-    if kernel_partitions:
-        kernel_rows = kernel_rows.repartition(kernel_partitions, "conv_id")
-    else:
-        kernel_rows = kernel_rows.repartition("conv_id")
-    kernel_rows = _hold(kernel_rows)
-
-    ents_and_meta = entity_stage(kernel_rows, force_hits)
-    entities = _hold(ckpt.stage("entities", lambda: ents_and_meta[0]))
-    metadata = ents_and_meta[1]
-    sent_meta = _hold(first_metadata_per_sentence(metadata))
-
-    # Lean order: the kernel's sentence-local candidates (zero extra
-    # shuffles) -> D1 -> V2 validation, all on narrow sentence-free rows;
-    # the sentence text + R9 metadata joins touch only the validated
-    # survivors. Output identical to extract_relationships → validate
-    # (parity-tested; validation neither reads nor filters
-    # sentence/date/amount).
-    triples = _hold(
-        ckpt.stage(
-            "triples",
-            lambda: to_triples(
-                attach_sentence_and_metadata(
-                    validate_relationships(
-                        dedup_relationships(candidates_from_kernel(kernel_rows)), entities
-                    ),
-                    kernel_rows,
-                    sent_meta,
-                )
-            ),
+        kernel_rows = _hold(
+            ckpt.stage(
+                "kernel_rows", lambda: extract_kernel(documents, kernel_partitions, emit=EMIT_ANALYSIS)
+            )
         )
-    )
-    events = ckpt.stage("events", lambda: extract_events(kernel_rows, entities, sent_meta))
+        force_hits = force_detect_hits_from_documents(documents)
+        ents_and_meta = entity_stage(kernel_rows, force_hits)
+        entities = _hold(ckpt.stage("entities", lambda: ents_and_meta[0]))
+        sent_meta = _hold(first_metadata_per_sentence(ents_and_meta[1]))
+        triples = _hold(
+            ckpt.stage(
+                "triples",
+                lambda: to_triples(
+                    attach_sentence_and_metadata(
+                        validate_relationships(
+                            dedup_relationships(candidate_relationships(kernel_rows)), entities
+                        ),
+                        kernel_rows,
+                        sent_meta,
+                    )
+                ),
+            )
+        )
+        events = ckpt.stage("events", lambda: extract_events(kernel_rows, entities, sent_meta))
 
     nodes = build_nodes(entities, session_id)
     edges = build_edges(triples, nodes, session_id)

@@ -30,12 +30,21 @@ DOCUMENTS = T.StructType(
     ]
 )
 
-# Output of the one-pass extraction kernel. Three row kinds share the frame:
+# Output of the one-pass extraction kernel. Six row kinds share the frame
+# (the `emit` parameter of the kernel selects which are produced):
 #   kind='mention': text/label/ctype/norm_text/start_char/end_char set
 #   kind='svo':     text=subject, label=verb lemma, obj=object, svo_ord set
 #   kind='cand':    sentence-local rule candidate (R1-R5 + scored SVO):
 #                   text=source, obj=target, label=relationship type,
 #                   conf/reason/verb/pri/orda/ordb/attach set, sentence ''
+#   kind='entity':  FINAL per-document entity (post E1-E4 + P6):
+#                   text=name, label=type, reason=context,
+#                   sentence=source_sentence, forced set
+#   kind='triple':  FINAL validated triple (post D1 + V2 + R9):
+#                   text=source, obj=target, label=type,
+#                   conf/reason/verb/mdate/mamount set
+#   kind='event':   FINAL event (post EV1-EV6 + D2): text=name,
+#                   label=event_type, parts/mdate/mamount/location/conf set
 # ctype/norm_text are the P3-corrected type and P2-normalized name,
 # computed in the kernel (once per mention) so the JVM never re-evaluates
 # the lexicon/suffix chains in every consumer expression. Candidate rows
@@ -62,6 +71,11 @@ KERNEL_ROWS = T.StructType(
         T.StructField("orda", T.IntegerType(), True),
         T.StructField("ordb", T.IntegerType(), True),
         T.StructField("attach", T.BooleanType(), True),
+        T.StructField("forced", T.BooleanType(), True),
+        T.StructField("mdate", T.StringType(), True),
+        T.StructField("mamount", T.StringType(), True),
+        T.StructField("location", T.StringType(), True),
+        T.StructField("parts", T.ArrayType(T.StringType()), True),
     ]
 )
 

@@ -33,6 +33,9 @@ import re
 from dataclasses import dataclass
 
 from .rules import (
+    EVENT_PARTICIPANT_TYPES,
+    EVENT_PATTERNS,
+    FORCE_DETECT_PRODUCTS,
     GPE_ABBREVIATIONS,
     HIGH_CONFIDENCE_VERBS,
     KNOWN_COMPANIES,
@@ -41,8 +44,12 @@ from .rules import (
     ORG_SUFFIXES,
     ROLE_INDICATOR_MAX_DISTANCE,
     ROLE_INDICATOR_PAIRS,
+    SEMANTIC_RULES,
+    SPACY_TO_NORMALIZED,
     STRONG_INDICATORS,
+    STRUCTURAL_TYPES,
     VERB_TO_RELATIONSHIP,
+    event_trigger_confidence,
 )
 
 # ---------------------------------------------------------------------------
@@ -770,6 +777,256 @@ def extract_rule_candidates(
         ))
 
     return [c for c in out if c.confidence >= MIN_CONFIDENCE_THRESHOLD]
+
+
+# ---------------------------------------------------------------------------
+# Document-local graph construction (E1-E4/P6, D1, V2, R9, EV1-EV6/D2)
+#
+# In the reference, the ENTIRE extraction pipeline is per-document — only
+# the Neo4j MERGE (global node/edge dedup) crosses documents. The Spark
+# translation of that fact: run all document-local logic inside the one
+# Arrow kernel pass (zero additional shuffles at 10^12-turn scale; the
+# only shuffle is the conv_id clustering before the kernel), and keep the
+# genuinely GLOBAL operators — node/edge MERGE dedup, canonicalization,
+# session analytics — as DataFrame operators over the kernel's output.
+# The relational formulations of the per-document operators remain in
+# operators/ as the documented §2 surface; parity tests pin both paths to
+# identical rows.
+# ---------------------------------------------------------------------------
+
+_WHITELIST_TYPES = frozenset(SPACY_TO_NORMALIZED)
+_STRUCTURAL_SET = frozenset(STRUCTURAL_TYPES)
+_SEMANTIC_RULE_SET = frozenset(SEMANTIC_RULES)
+_EVENT_PARTICIPANT_SET = frozenset(EVENT_PARTICIPANT_TYPES)
+
+
+@dataclass
+class DocEntity:
+    text: str
+    etype: str
+    start: int
+    end: int
+    context: str
+    source_sentence: str
+    sent_idx: int
+    is_forced: bool
+
+
+@dataclass
+class DocTriple:
+    source: str
+    target: str
+    rtype: str
+    reason: str
+    confidence: float
+    verb: str | None
+    sentence: str
+    sent_idx: int
+    date: str | None
+    amount: str | None
+
+
+@dataclass
+class DocEvent:
+    event_type: str
+    name: str
+    participants: list[str]
+    date: str | None
+    location: str | None
+    amount: str | None
+    context: str
+    sent_idx: int
+    confidence: float
+
+
+@dataclass
+class DocumentGraph:
+    entities: list[DocEntity]
+    triples: list[DocTriple]
+    events: list[DocEvent]
+
+
+@dataclass
+class DocumentAnalysis:
+    """Everything one parse yields: raw artifacts (sentences, mentions,
+    SVOs, rule candidates) plus the finished per-document graph."""
+
+    sentences: list[tuple[str, int]]
+    mentions: list[tuple[int, "Mention"]]
+    svos: list[tuple[int, "SvoCandidate"]]
+    candidates: list[tuple[int, "RuleCandidate"]]
+    graph: DocumentGraph
+
+
+def build_document_graph(text: str, max_length: int = 2_000_000) -> DocumentGraph:
+    """One document -> final (entities, validated triples, events), the
+    per-document slice of the whole reference pipeline (main.py:75-80)."""
+    return analyze_document(text, max_length).graph
+
+
+def analyze_document(text: str, max_length: int = 2_000_000) -> DocumentAnalysis:
+    cleaned = clean_text(text)[:max_length]
+    sentences = split_sentences(cleaned)
+
+    # --- parse + per-sentence rule candidates (single pass) -------------
+    all_mentions: list[tuple[int, Mention]] = []
+    all_svos: list[tuple[int, SvoCandidate]] = []
+    candidates: list[tuple[int, RuleCandidate]] = []
+    for sent_idx, (sent, start) in enumerate(sentences):
+        sm = detect_mentions(sent, start)
+        all_mentions.extend((sent_idx, m) for m in sm)
+        svos = extract_svo(sent, sm, start)
+        all_svos.extend((sent_idx, s) for s in svos)
+        candidates.extend((sent_idx, c) for c in extract_rule_candidates(sent, sm, svos))
+
+    sent_text = {i: s for i, (s, _st) in enumerate(sentences)}
+
+    # --- entity stage: E1 -> P3 -> P2 -> E2 -> P6 -> E4 -----------------
+    entities: list[DocEntity] = []
+    seen_keys: set[tuple[str, str]] = set()
+    prewhitelist_names: set[str] = set()
+    for sent_idx, m in all_mentions:
+        if m.label not in _STRUCTURAL_SET:
+            continue
+        ctype = correct_entity_type(m.text, m.label)
+        norm = normalize_entity_name(m.text, ctype)
+        prewhitelist_names.add(norm.lower())
+        key = (norm.lower(), ctype)
+        if key in seen_keys:
+            continue
+        seen_keys.add(key)
+        if ctype not in _WHITELIST_TYPES:
+            continue
+        s = sent_text[sent_idx]
+        entities.append(DocEntity(norm, ctype, m.start, m.end, s[:200], s, sent_idx, False))
+
+    # P6 — force-detect products (reference nlp_engine.py:197-214).
+    doc_lower = cleaned.lower()
+    for product in FORCE_DETECT_PRODUCTS:
+        pos = doc_lower.find(product)
+        if pos < 0 or product in prewhitelist_names:
+            continue
+        entities.append(DocEntity(
+            product.capitalize(), "PRODUCT", pos, pos + len(product),
+            f"Force-detected product: {product}", "", -1, True,
+        ))
+
+    # --- R9 metadata side channel (first date/money per sentence STRING) -
+    first_date: dict[str, str] = {}
+    first_money: dict[str, str] = {}
+    for sent_idx, m in all_mentions:
+        if m.label == "DATE":
+            first_date.setdefault(sent_text[sent_idx], m.text)
+        elif m.label == "MONEY":
+            first_money.setdefault(sent_text[sent_idx], m.text)
+
+    # --- D1 strategy-order dedup --------------------------------------
+    ordered = sorted(
+        ((si, c) for si, c in candidates),
+        key=lambda t: (t[1].strat_group, t[0], t[1].rule_pri, t[1].ord_a, t[1].ord_b),
+    )
+    survivors: dict[tuple[str, str, str], tuple[int, RuleCandidate]] = {}
+    for si, c in ordered:
+        survivors.setdefault((c.source.lower(), c.target.lower(), c.rtype), (si, c))
+
+    # --- V2 validation (exact, case-sensitive first-entity resolution) --
+    # entity list order = document order with forced entities appended
+    # last (semantic_validator.py:84-85 next() semantics).
+    first_entity_norm: dict[str, str] = {}
+    for e in entities:
+        if e.text not in first_entity_norm:
+            first_entity_norm[e.text] = SPACY_TO_NORMALIZED[e.etype]
+
+    triples: list[DocTriple] = []
+    for (_, _, _), (si, c) in survivors.items():
+        src_norm = first_entity_norm.get(c.source)
+        dst_norm = first_entity_norm.get(c.target)
+        if src_norm is None or dst_norm is None:
+            continue
+        if (c.rtype, src_norm, dst_norm) not in _SEMANTIC_RULE_SET:
+            continue
+        s = sent_text[si]
+        date = first_date.get(s) if c.attach_metadata else None
+        amount = first_money.get(s) if c.attach_metadata else None
+        triples.append(DocTriple(
+            c.source, c.target, c.rtype, c.reason, c.confidence, c.verb, s, si, date, amount,
+        ))
+
+    # --- events: EV1-EV6 + D2 ------------------------------------------
+    # Align FINAL entities by sentence-string equality (EV2); distinct
+    # sentence strings processed in first-occurrence order.
+    ents_by_sentence: dict[str, list[DocEntity]] = {}
+    for e in entities:
+        if e.source_sentence:
+            ents_by_sentence.setdefault(e.source_sentence, []).append(e)
+    sentence_first_idx: dict[str, int] = {}
+    for i, (s, _st) in enumerate(sentences):
+        sentence_first_idx.setdefault(s, i)
+
+    events: list[DocEvent] = []
+    seen_events: set[tuple[str, tuple[str, ...]]] = set()
+    for s in sorted(ents_by_sentence, key=lambda x: sentence_first_idx.get(x, 1 << 30)):
+        aligned = sorted(ents_by_sentence[s], key=lambda e: (e.start, e.text, e.etype))
+        sl = s.lower()
+        event_type = None
+        conf = 0.3
+        for fam, pattern in EVENT_PATTERNS:
+            hit = next((t for t in pattern["triggers"] if t in sl), None)
+            if hit is not None:
+                event_type = fam
+                conf = event_trigger_confidence(hit)
+                break
+        if event_type is None:
+            continue  # OTHER: 0.3 < 0.5, always skipped (EV3)
+        fam_required = dict(EVENT_PATTERNS)[event_type]["required_entities"]
+        etypes = {e.etype for e in aligned}
+        if not any(r in etypes for r in fam_required):
+            continue
+        participants = [e.text for e in aligned if e.etype in _EVENT_PARTICIPANT_SET]
+        if not participants:
+            continue
+        dkey = (event_type, tuple(sorted(participants)))
+        if dkey in seen_events:
+            continue
+        seen_events.add(dkey)
+        location = next((e.text for e in aligned if e.etype == "GPE"), None)
+        events.append(DocEvent(
+            event_type, _event_name(event_type, participants), participants,
+            first_date.get(s), location, first_money.get(s), s,
+            sentence_first_idx.get(s, 0), conf,
+        ))
+
+    return DocumentAnalysis(
+        sentences, all_mentions, all_svos, candidates, DocumentGraph(entities, triples, events)
+    )
+
+
+def _is_launch_org(p: str) -> bool:
+    """ProductLaunch org-vs-product heuristic (event_extraction.py:177):
+    contains 'Inc'/'Corp' or is a single word."""
+    return "Inc" in p or "Corp" in p or len(p.split(" ")) == 1
+
+
+def _event_name(event_type: str, participants: list[str]) -> str:
+    """EV5 naming templates (event_extraction.py:163-198)."""
+    p0 = participants[0]
+    if event_type == "Acquisition":
+        return f"{p0} acquires {participants[1]}" if len(participants) >= 2 else f"{p0} acquisition"
+    if event_type == "ProductLaunch":
+        orgs = [p for p in participants if _is_launch_org(p)]
+        prods = [p for p in participants if not _is_launch_org(p)]
+        if orgs and prods:
+            return f"{orgs[0]} launches {prods[0]}"
+        if prods:
+            return f"{prods[0]} launch"
+        return f"{p0} product launch"
+    if event_type == "LeadershipChange":
+        return f"{p0} joins {participants[1]}" if len(participants) >= 2 else f"{p0} leadership change"
+    if event_type == "Conference":
+        return p0
+    if event_type == "FundingRound":
+        return f"{p0} funding round"
+    return " - ".join(participants[:2])
 
 
 # ---------------------------------------------------------------------------
