@@ -236,6 +236,110 @@ def _q_ann_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def _q_rollup(spark, sf_dir):
+    # grouping-sets family: ROLLUP over (returnflag, linestatus)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+def _q_set_ops(spark, sf_dir):
+    # set operators: customers ordering in 1995 INTERSECT 1996, minus 1997
+    o = _t(spark, sf_dir, "orders")
+    y = lambda yr: o.filter(F.year("o_orderdate") == yr).select("o_custkey").distinct()
+    return y(1995).intersect(y(1996)).exceptAll(y(1997)).select(F.col("o_custkey").alias("custkey"))
+
+
+def _q_asof_join(spark, sf_dir):
+    # as-of join (union+window operator — no inequality-join fan-out):
+    # for each event, the user's latest order at or before the event time.
+    from knowledge_graph_builder_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    out = asof_join(ev, o, "user_id", "o_custkey", "ts", "o_orderdate", ["last_orderkey"])
+    return out.select("event_id", "user_id", F.col("last_orderkey_asof").alias("asof_orderkey"))
+
+
+def _q_sessionize(spark, sf_dir):
+    # gap-based sessionization (lag + running sum window)
+    from knowledge_graph_builder_spark.operators.joins import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800)
+    return s.groupBy("user_id").agg(
+        (F.max("session_id") + 1).alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def _q_range_join(spark, sf_dir):
+    # equi+range band join
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_size", "p_brand")
+    return (
+        li.join(F.broadcast(p), (F.col("l_partkey") == F.col("p_partkey"))
+                & (F.col("l_quantity") >= F.col("p_size") - 5)
+                & (F.col("l_quantity") <= F.col("p_size") + 5))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"), F.round(F.avg("l_quantity"), 2).alias("avg_qty"))
+    )
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    # n-gram (3-word shingle) Jaccard similarity for co-shingled doc pairs
+    from knowledge_graph_builder_spark.operators.dedup import jaccard_verify, word_shingles
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    sh = word_shingles(d, "doc_id", "text", k=3)
+    pairs = (
+        sh.select(F.col("doc_id").alias("a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return jaccard_verify(pairs, sh, threshold=0.01).select(
+        "a", "b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def _q_cosine_neardup(spark, sf_dir):
+    # embedding-cosine near-duplicate pairs (brute-force over a slice)
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    norm = lambda c: F.sqrt(F.aggregate(F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cosine", dot / (norm(F.col("ea")) * norm(F.col("eb"))))
+        .filter(F.col("cosine") >= 0.2)
+        .select("a", "b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def _q_quality_flags(spark, sf_dir):
+    # quality scoring: length band + punct sanity + stopword presence
+    from knowledge_graph_builder_spark.operators import textstats as ts
+
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        ts.token_count_col(c).alias("n_tokens"),
+        F.round(ts.punct_ratio_col(c), 4).alias("punct_ratio"),
+        F.round(ts.stopword_ratio_col(c), 4).alias("stopword_ratio"),
+        ts.quality_score_col(c).alias("quality"),
+    )
+
+
 # --- rows-only queries (no SQL oracle: kernel/iterative/LSH internals) ---
 
 
@@ -303,6 +407,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_window": _q_topk_window,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3_top10": _q_tpch_q3,
+        "rollup_agg": _q_rollup,
+        "set_ops": _q_set_ops,
+        "asof_join": _q_asof_join,
+        "sessionize": _q_sessionize,
+        "range_join": _q_range_join,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "cosine_neardup": _q_cosine_neardup,
+        "quality_flags": _q_quality_flags,
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
         "lang_markers": _q_lang_markers,
@@ -318,8 +430,117 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _stopword_hits_sql() -> str:
+    """Sum-of-occurrences expression over the same stopword list the Spark
+    operator uses (textstats._EN_STOPWORDS), built programmatically so the
+    two sides cannot drift."""
+    from knowledge_graph_builder_spark.operators.textstats import _EN_STOPWORDS
+
+    terms = [
+        f"((length(pad) - length(replace(pad, ' {w} ', ''))) / {len(w) + 2})::INT"
+        for w in _EN_STOPWORDS
+    ]
+    return " + ".join(terms)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "set_ops": """
+            SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        """,
+        "asof_join": """
+            WITH o AS (
+              SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, o.last_orderkey AS asof_orderkey
+            FROM events e
+            ASOF JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        """,
+        "sessionize": """
+            WITH lagged AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT user_id, sum(is_new) AS n_sessions, count(*) AS n_events
+            FROM lagged GROUP BY user_id
+        """,
+        "range_join": """
+            SELECT p_brand, count(*) AS n, round(avg(l_quantity), 2) AS avg_qty
+            FROM lineitem JOIN part
+              ON l_partkey = p_partkey
+             AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+            GROUP BY p_brand
+        """,
+        "ngram_jaccard": """
+            WITH norm AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS w
+              FROM documents WHERE doc_id < 120
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+              FROM norm, LATERAL unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS n_inter
+              FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b, round(n_inter / (za.n + zb.n - n_inter), 4) AS jaccard
+            FROM pairs JOIN sizes za ON pairs.a = za.doc_id
+                       JOIN sizes zb ON pairs.b = zb.doc_id
+            WHERE n_inter / (za.n + zb.n - n_inter) >= 0.01
+        """,
+        "cosine_neardup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 150)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_dot_product(a.emb, b.emb)
+                         / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.emb, b.emb)
+                  / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.2
+        """,
+        "quality_flags": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END)::INT AS n_tokens,
+                     array_length(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+                         / greatest(length(text), 1) AS punct_ratio,
+                     ' ' || lower(regexp_replace(text, '[^\\w\\s]', '', 'g')) || ' ' AS pad
+              FROM documents
+            ),
+            scored AS (
+              SELECT doc_id, n_tokens, punct_ratio,
+                     ({_stopword_hits_sql()})::DOUBLE / greatest(n_tokens, 1) AS stopword_ratio
+              FROM base
+            )
+            SELECT doc_id, n_tokens,
+                   round(punct_ratio, 4) AS punct_ratio,
+                   round(stopword_ratio, 4) AS stopword_ratio,
+                   round(CASE WHEN n_tokens BETWEEN 5 AND 10000 THEN 0.4 ELSE 0.0 END
+                       + CASE WHEN punct_ratio <= 0.2 THEN 0.3
+                              WHEN punct_ratio <= 0.4 THEN 0.15 ELSE 0.0 END
+                       + CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END, 2)::DOUBLE AS quality
+            FROM scored
+        """,
         "conv_assembly": """
             SELECT user_id,
                    string_agg(event_type, '|' ORDER BY ts, event_id) AS event_seq,
