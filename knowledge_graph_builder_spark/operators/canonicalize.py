@@ -6,13 +6,15 @@ Pipeline:
 
 1. blocking keys per name — two generators, unioned:
    * token blocking: each lowercased token of the name (cheap, high recall
-     for multi-word names), salted by first char to split huge blocks;
+     for multi-word names);
    * MinHash-LSH: character 3-gram shingles -> k hash functions ->
      min-hash signature -> banded keys; names sharing a band bucket are
      candidates.
 2. candidate pairs = self-join within block, (a < b), deduped. Block size
-   is capped (drop blocks above `max_block`) — the classic guard against
-   quadratic blowup on stop-tokens at web scale.
+   is capped (drop blocks above `max_block`) — the guard against
+   quadratic blowup on stop-tokens at web scale. Hot keys are thereby
+   bounded, so no block's pair fan-out can skew a task; recall for names
+   sharing ONLY a hot token comes from the LSH bands instead.
 3. verification: Jaccard over token sets >= threshold.
 4. connected components over the verified pair graph via alternating
    large-star / small-star DataFrame joins (Kiveris et al., "Connected

@@ -1,0 +1,135 @@
+"""Structured Streaming front-ends for the KG pipeline.
+
+The reference processes one HTTP request per document (SURVEY.md §3.1) —
+a natural micro-batch. Two streaming translations:
+
+* ``stream_kg_foreachbatch`` — each micro-batch is a set of COMPLETE
+  conversations (the request-per-document analog). The fused batch
+  pipeline runs inside ``foreachBatch`` and appends to the graph tables;
+  exactly-once bookkeeping comes from the sink's idempotent overwrite of
+  per-batch output paths + the streaming checkpoint.
+
+* ``stream_kg_stateful`` — turns arrive INCOMPLETE and out of order
+  across micro-batches. Conversations assemble in keyed state
+  (``applyInPandasWithState`` over conv_id); a conversation is parsed and
+  its graph rows emitted when it goes quiet for ``quiet_ms`` (processing-
+  time timeout). This is the custom stateful operator path for true
+  10^12-turn streams: state per in-flight conversation only, output is
+  the same KERNEL_ROWS frame the batch pipeline uses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.assembly import TURN_SEPARATOR
+from ..operators.extraction import EMIT_GRAPH, _rows_for_document, _KERNEL_COLS
+from ..plans.pipeline import run_pipeline
+from ..schema import KERNEL_ROWS, TRANSCRIPTS
+
+
+def read_transcript_stream(spark: SparkSession, input_path: str, max_files: int = 16) -> DataFrame:
+    """File-source transcript stream with the declared schema."""
+    return (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_path)
+    )
+
+
+def stream_kg_foreachbatch(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Micro-batch = complete conversations. Returns the started query."""
+    stream = read_transcript_stream(spark, input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        res = run_pipeline(spark, batch_df, persist=False)
+        # per-batch subdirectories make retries idempotent (overwrite of
+        # the same batch id rewrites, never duplicates)
+        res.triples.write.mode("overwrite").parquet(f"{output_dir}/triples/batch={batch_id}")
+        res.entities.write.mode("overwrite").parquet(f"{output_dir}/entities/batch={batch_id}")
+        res.events.write.mode("overwrite").parquet(f"{output_dir}/events/batch={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Stateful conversation assembly
+# ---------------------------------------------------------------------------
+
+# state: accumulated (turn_idx, text) pairs for one in-flight conversation
+_STATE_SCHEMA = "turn_idxs array<int>, texts array<string>"
+
+
+def _assemble_and_extract(conv_id: str, turn_idxs: list[int], texts: list[str]) -> pd.DataFrame:
+    ordered = sorted(zip(turn_idxs, texts))
+    doc = TURN_SEPARATOR.join(t or "" for _, t in ordered)
+    return pd.DataFrame(list(_rows_for_document(conv_id, doc, EMIT_GRAPH)), columns=_KERNEL_COLS)
+
+
+def make_stateful_update(quiet_ms: int):
+    """Build the update function with the configured quiet period."""
+
+    def update(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            turn_idxs, texts = state.get
+            state.remove()
+            yield _assemble_and_extract(conv_id, list(turn_idxs), list(texts))
+            return
+        turn_idxs, texts = [], []
+        if state.exists:
+            old = state.get
+            turn_idxs, texts = list(old[0]), list(old[1])
+        for pdf in pdfs:
+            turn_idxs.extend(int(i) for i in pdf["turn_idx"])
+            texts.extend("" if t is None else str(t) for t in pdf["text"])
+        state.update((turn_idxs, texts))
+        state.setTimeoutDuration(quiet_ms)
+        yield pd.DataFrame(columns=_KERNEL_COLS)
+
+    return update
+
+
+def stream_kg_stateful(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    quiet_ms: int = 2000,
+    max_files: int = 1,
+):
+    """Turns may arrive split/out-of-order across micro-batches; keyed
+    state assembles each conversation and emits its graph rows once no new
+    turns arrive for ``quiet_ms``. Returns the started query."""
+    stream = read_transcript_stream(spark, input_path, max_files=max_files).select(
+        "conv_id", "turn_idx", "text"
+    )
+    out = stream.groupBy("conv_id").applyInPandasWithState(
+        make_stateful_update(quiet_ms),
+        outputStructType=KERNEL_ROWS,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", f"{output_dir}/kernel_rows")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="1 second")
+        .start()
+    )

@@ -1,0 +1,47 @@
+"""Canonicalization: blocking -> verified pairs -> connected components.
+Aliases that share enough tokens/shingles collapse to one canonical id;
+unrelated names keep themselves; edges rewrite onto canonical endpoints."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from knowledge_graph_builder_spark.operators.canonicalize import (
+    canonicalize_nodes,
+    connected_components,
+    rewrite_edges_canonical,
+)
+
+
+def test_alias_groups_collapse(spark):
+    names = [
+        ("Apple",), ("Apple Inc",), ("Apple Incorporated",),
+        ("Microsoft",), ("Microsoft Corp",),
+        ("Tim Cook",),
+    ]
+    nodes = spark.createDataFrame(names, ["name"])
+    out = canonicalize_nodes(nodes, jaccard_threshold=0.3)
+    by_name = {r["name"]: r["canonical_id"] for r in out.collect()}
+    # the three Apple forms share the 'apple' token -> one component
+    assert by_name["Apple"] == by_name["Apple Inc"] == by_name["Apple Incorporated"]
+    assert by_name["Microsoft"] == by_name["Microsoft Corp"]
+    assert by_name["Apple"] != by_name["Microsoft"]
+    assert by_name["Tim Cook"] == "Tim Cook"  # no alias -> self
+
+
+def test_connected_components_chain(spark):
+    # a-b, b-c, d-e: two components despite no direct a-c edge
+    edges = spark.createDataFrame([("a", "b"), ("b", "c"), ("d", "e")], ["a", "b"])
+    comp = {r["name"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["d"] == comp["e"] == "d"
+
+
+def test_rewrite_edges(spark):
+    canonical = spark.createDataFrame(
+        [("Apple Inc", "Apple"), ("Apple", "Apple"), ("MSFT", "MSFT")],
+        ["name", "canonical_id"],
+    )
+    edges = spark.createDataFrame([("Apple Inc", "MSFT")], ["src", "dst"])
+    out = rewrite_edges_canonical(edges, canonical).collect()[0]
+    assert out["src_canonical"] == "Apple" and out["dst_canonical"] == "MSFT"
