@@ -1,0 +1,105 @@
+"""Unit tests for operator families not covered by the golden pipeline:
+graph store upserts, multimodal kernels, LSH similarity, as-of join, and
+sessionization on hand-computed inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_builder_spark.operators.joins import asof_join, sessionize
+from knowledge_graph_builder_spark.operators.multimodal import (
+    decode_and_featurize,
+    sample_frames,
+    synth_media,
+)
+from knowledge_graph_builder_spark.operators.similarity import brute_force_topk, lsh_topk
+from knowledge_graph_builder_spark.sources.graph_store import GraphStore
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def test_graph_store_upsert_last_writer_and_clear(spark, tmp_path):
+    store = GraphStore(spark, str(tmp_path / "g"))
+    n1 = spark.createDataFrame(
+        [("Apple", "ORG", "s1", "d1"), ("Jobs", "PERSON", "s1", "d1")],
+        ["name", "type", "session_id", "document_id"],
+    )
+    store.upsert_nodes(n1)
+    # second batch updates Apple's props (last writer) and adds MSFT
+    n2 = spark.createDataFrame(
+        [("Apple", "ORG", "s2", "d9"), ("MSFT", "ORG", "s2", "d9")],
+        ["name", "type", "session_id", "document_id"],
+    )
+    store.upsert_nodes(n2)
+    rows = {(r.name, r.type): (r.session_id, r.document_id) for r in store.nodes().collect()}
+    assert len(rows) == 3
+    assert rows[("Apple", "ORG")] == ("s2", "d9")  # last writer won
+    assert rows[("Jobs", "PERSON")] == ("s1", "d1")
+
+    store.clear_session("s2")
+    assert {r.name for r in store.nodes().collect()} == {"Jobs"}
+
+
+def test_multimodal_kernels_shapes(spark):
+    media = synth_media(spark, n=12)
+    feats = decode_and_featurize(media, dim=16).collect()
+    assert len(feats) == 4  # every third row is an image
+    assert all(len(r.feature) == 16 for r in feats)
+    assert all(abs(sum(r.feature) - 1.0) < 1e-6 for r in feats)  # normalized
+    # determinism: same bytes -> same vector
+    feats2 = decode_and_featurize(synth_media(spark, n=12), dim=16).collect()
+    assert {r.media_id: tuple(r.feature) for r in feats} == {
+        r.media_id: tuple(r.feature) for r in feats2
+    }
+
+    frames = sample_frames(media, every_ms=1000).collect()
+    videos = [r for r in media.collect() if r.kind == "video"]
+    assert len(frames) == len(videos) * 3  # 3000ms / 1000ms
+    assert all(r.ts_ms % 1000 == 0 for r in frames)
+
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        decode_and_featurize(media, fake=False).collect()
+
+
+def test_lsh_topk_contains_exact_neighbors(spark, sf_dir="/root/testdata/sf0.001"):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 1).collect()[0]["embedding"]]
+    exact = [r.vec_id for r in brute_force_topk(e, q, k=5).collect()]
+    approx = [r.vec_id for r in lsh_topk(e, q, k=20, bits=16, bands=8).collect()]
+    # the query vector itself must be in its own LSH bucket and rank first
+    assert exact[0] == 1 and 1 in approx
+    # high-recall config: most exact top-5 should appear in the approx top-20
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_asof_join_hand_case(spark):
+    orders = spark.createDataFrame(
+        [(1, _ts(10), "o-a"), (1, _ts(20), "o-b"), (2, _ts(5), "o-c")],
+        ["key", "ots", "oid"],
+    )
+    events = spark.createDataFrame(
+        [(1, _ts(15), "e1"), (1, _ts(25), "e2"), (1, _ts(3), "e0"), (2, _ts(5), "e3"), (3, _ts(9), "e4")],
+        ["key", "ets", "eid"],
+    )
+    out = asof_join(events, orders, "key", "key", "ets", "ots", ["oid"])
+    got = {r.eid: r.oid_asof for r in out.collect()}
+    # e1@15 sees o-a@10; e2@25 sees o-b@20; e0@3 has no prior order (dropped);
+    # e3@5 sees o-c@5 (ties: right visible at equal ts); e4 has no key match
+    assert got == {"e1": "o-a", "e2": "o-b", "e3": "o-c"}
+
+
+def test_sessionize_hand_case(spark):
+    ev = spark.createDataFrame(
+        [(1, _ts(0)), (1, _ts(100)), (1, _ts(4000)), (1, _ts(4100)), (2, _ts(0))],
+        ["user_id", "ts"],
+    )
+    out = sessionize(ev, "user_id", "ts", gap_seconds=1800)
+    sessions = {(r.user_id, r.ts.second + r.ts.minute * 60 + r.ts.hour * 3600): r.session_id for r in out.collect()}
+    assert sessions[(1, 0)] == 0 and sessions[(1, 100)] == 0
+    assert sessions[(1, 4000)] == 1 and sessions[(1, 4100)] == 1
+    assert sessions[(2, 0)] == 0
