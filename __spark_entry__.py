@@ -395,6 +395,28 @@ def _q_doc_quality(spark, sf_dir):
     return document_stats(_t(spark, sf_dir, "documents"))
 
 
+def _q_viz_graph(spark, sf_dir):
+    # Q2/Q3: vis-network projection of the golden KG (width/opacity math)
+    from knowledge_graph_builder_spark.operators.graph import viz_edges
+    from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
+    from knowledge_graph_builder_spark.sources.synth import golden_transcripts
+
+    res = run_pipeline(spark, golden_transcripts(spark))
+    return viz_edges(res.edges.filter(F.col("type") != "INVOLVES"))
+
+
+def _q_pdf_ingest(spark, sf_dir):
+    # S2: binary-document ingest -> transcripts -> pipeline (stubbed decode)
+    from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
+    from knowledge_graph_builder_spark.schema import TRANSCRIPTS
+    from knowledge_graph_builder_spark.sources.ingest import extract_text, to_transcripts
+
+    payload = b"%PDF-1.4 Steve Jobs founded Apple in 1976. stream xref"
+    binary = spark.createDataFrame([("mem://a.pdf", bytearray(payload))], "path string, content binary")
+    tr = to_transcripts(extract_text(binary))
+    return run_pipeline(spark, tr, persist=False).triples.select("source", "type", "target")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "conv_assembly": _q_conv_assembly,
@@ -427,6 +449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_allpairs": _q_knn_allpairs,
         "canonicalize": _q_canonicalize,
         "doc_quality": _q_doc_quality,
+        "viz_graph": _q_viz_graph,
+        "pdf_ingest": _q_pdf_ingest,
     }
 
 

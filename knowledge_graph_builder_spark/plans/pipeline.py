@@ -103,10 +103,23 @@ class Checkpointer:
             writer = writer.partitionBy(partition_by)
         writer.parquet(path)
         out = self.spark.read.parquet(path)
+        # per-partition lineage: row count per written file (north_rule
+        # "per-partition lineage + metrics") — read from parquet metadata,
+        # one cheap metadata-only job.
+        from pyspark.sql import functions as F
+
+        per_part = (
+            out.groupBy(F.input_file_name().alias("f"))
+            .count()
+            .select(F.element_at(F.split("f", "/"), -1).alias("file"), "count")
+            .collect()
+        )
         row = {
             "run_id": self.run_id,
             "stage": name,
-            "output_rows": out.count(),
+            "output_rows": sum(r["count"] for r in per_part),
+            "n_partitions": len(per_part),
+            "partition_rows": {r["file"]: r["count"] for r in per_part},
             "wall_ms": int((time.monotonic() - t0) * 1000),
             "status": "ok",
         }

@@ -222,6 +222,16 @@ for _label, _phrases in _GAZETTEER_SOURCE.items():
 
 _MAX_GAZ_WORDS = max(len(p.split()) for p in GAZETTEER)
 
+# Fast prefilters: a gazetteer (or date-phrase) match at a token position
+# is only possible when the token's punctuation-stripped core is the first
+# word of some phrase — one set lookup skips the whole matching loop for
+# the typical token. Keys cover dotted/dotless variants ("u.s." / "u.s").
+_GAZ_FIRST_WORDS: set[str] = set()
+for _p in GAZETTEER:
+    _w0 = _p.split()[0]
+    _GAZ_FIRST_WORDS.add(_w0)
+    _GAZ_FIRST_WORDS.add(_w0.rstrip("."))
+
 # Corporate-suffix tokens absorbed into a preceding ORG/GPE gazetteer match
 # so "Apple Inc." is one span, like a spaCy ORG ent. Keys are the dotless
 # cores; value True means a directly attached '.' is kept in the span text.
@@ -263,6 +273,7 @@ _MONTHS = (
 _DATE_RE = re.compile(
     rf"(?:(?:{_MONTHS})\s\d{{1,2}}(?:,\s\d{{4}})?)|(?:(?:{_MONTHS})\s\d{{4}})|(?:{_MONTHS})|(?:\b(?:19|20)\d{{2}}\b)"
 )
+_DATE_FIRST_WORDS = {p.split()[0] for p in _DATE_PHRASES}
 _ORDINAL_RE = re.compile(
     r"\b(?:first|second|third|fourth|fifth|sixth|seventh|eighth|ninth|tenth|\d+(?:st|nd|rd|th))\b",
     re.IGNORECASE,
@@ -324,8 +335,12 @@ def detect_mentions(sentence: str, sent_start: int) -> list[Mention]:
         # 1) gazetteer longest match (case-insensitive, over core tokens).
         # A trailing '.' attached to the last token is tried first so
         # dotted abbreviations ("U.S.") keep their spaCy-like surface form.
+        # The first-word prefilter makes the common (non-entity) token a
+        # single set lookup instead of a span loop.
         matched = False
-        for span in range(min(_MAX_GAZ_WORDS, len(tokens) - i), 0, -1):
+        for span in range(
+            min(_MAX_GAZ_WORDS, len(tokens) - i) if core.lower() in _GAZ_FIRST_WORDS else 0, 0, -1
+        ):
             lt, lts, lte = tokens[i + span - 1]
             lcore, llead, ltrail = _strip_punct(lt)
             if not lcore:
@@ -363,47 +378,49 @@ def detect_mentions(sentence: str, sent_start: int) -> list[Mention]:
         if matched:
             continue
 
-        rest = sentence[cs:]
-
-        m = _MONEY_RE.match(rest)
+        # position-anchored matches (no per-token sentence slicing; the
+        # char before cs is always whitespace or leading punctuation, so
+        # \b semantics are unchanged vs matching a slice)
+        m = _MONEY_RE.match(sentence, cs)
         if m:
-            mentions.append(Mention(m.group(0), "MONEY", sent_start + cs, sent_start + cs + m.end()))
-            i = _advance(tokens, i, cs + m.end())
+            mentions.append(Mention(m.group(0), "MONEY", sent_start + cs, sent_start + m.end()))
+            i = _advance(tokens, i, m.end())
             continue
 
-        m = _PERCENT_RE.match(rest)
+        m = _PERCENT_RE.match(sentence, cs)
         if m:
-            mentions.append(Mention(m.group(0), "PERCENT", sent_start + cs, sent_start + cs + m.end()))
-            i = _advance(tokens, i, cs + m.end())
+            mentions.append(Mention(m.group(0), "PERCENT", sent_start + cs, sent_start + m.end()))
+            i = _advance(tokens, i, m.end())
             continue
 
-        phrase_matched = False
-        for phrase in _DATE_PHRASES:
-            if lower.startswith(phrase, cs):
-                raw = sentence[cs : cs + len(phrase)]
-                mentions.append(Mention(raw, "DATE", sent_start + cs, sent_start + cs + len(phrase)))
-                i = _advance(tokens, i, cs + len(phrase))
-                phrase_matched = True
-                break
-        if phrase_matched:
-            continue
+        if core.lower() in _DATE_FIRST_WORDS:
+            phrase_matched = False
+            for phrase in _DATE_PHRASES:
+                if lower.startswith(phrase, cs):
+                    raw = sentence[cs : cs + len(phrase)]
+                    mentions.append(Mention(raw, "DATE", sent_start + cs, sent_start + cs + len(phrase)))
+                    i = _advance(tokens, i, cs + len(phrase))
+                    phrase_matched = True
+                    break
+            if phrase_matched:
+                continue
 
-        m = _DATE_RE.match(rest)
+        m = _DATE_RE.match(sentence, cs)
         if m:
-            mentions.append(Mention(m.group(0), "DATE", sent_start + cs, sent_start + cs + m.end()))
-            i = _advance(tokens, i, cs + m.end())
+            mentions.append(Mention(m.group(0), "DATE", sent_start + cs, sent_start + m.end()))
+            i = _advance(tokens, i, m.end())
             continue
 
-        m = _ORDINAL_RE.match(rest)
+        m = _ORDINAL_RE.match(sentence, cs)
         if m and m.group(0) == core[: len(m.group(0))]:
-            mentions.append(Mention(m.group(0), "ORDINAL", sent_start + cs, sent_start + cs + m.end()))
-            i = _advance(tokens, i, cs + m.end())
+            mentions.append(Mention(m.group(0), "ORDINAL", sent_start + cs, sent_start + m.end()))
+            i = _advance(tokens, i, m.end())
             continue
 
-        m = _CARDINAL_RE.match(rest)
+        m = _CARDINAL_RE.match(sentence, cs)
         if m:
-            mentions.append(Mention(m.group(0), "CARDINAL", sent_start + cs, sent_start + cs + m.end()))
-            i = _advance(tokens, i, cs + m.end())
+            mentions.append(Mention(m.group(0), "CARDINAL", sent_start + cs, sent_start + m.end()))
+            i = _advance(tokens, i, m.end())
             continue
 
         # 2) capitalized-run fallback -> ORG. Deliberately blind to the

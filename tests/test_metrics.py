@@ -1,0 +1,74 @@
+"""Headline quality metric: triple precision/recall vs the reference's
+extraction semantics over the golden corpus (BASELINE.json metric:
+P/R >= 0.95). Both sides are deterministic rule systems, so the target is
+exact agreement; the metric is computed explicitly so regressions show as
+a number, not just a failed set-compare. Also pins the Q1 insights
+aggregates and per-partition lineage metrics."""
+
+from __future__ import annotations
+
+from knowledge_graph_builder_spark.operators.graph import entity_type_histogram, insights
+from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
+from knowledge_graph_builder_spark.sources.synth import golden_transcripts
+
+# (conv, source, type, target) — reference semantics over the golden corpus
+# (same sets test_golden_e2e.py pins per conversation).
+EXPECTED = {
+    ("g2", "Steve Jobs", "FOUNDED", "Apple"),
+    ("g2", "Apple", "RELEASED", "iPhone"),
+    ("g2", "Tim Cook", "CEO_OF", "Apple"),
+    ("g2", "Microsoft", "COMPETES_WITH", "Apple"),
+    ("g3", "Apple", "ACQUIRED", "Beats"),
+    ("g4", "Google", "RELEASED", "Android"),
+    ("g5", "Tim Cook", "CEO_OF", "Apple"),
+    ("g7", "Jeff Bezos", "FOUNDED", "Amazon"),
+    ("g7", "Amazon", "LOCATED_IN", "Seattle"),
+    ("g8", "Amazon", "PRODUCES", "Kindle"),
+    ("g8", "Amazon", "PRODUCES", "Fire TV"),
+    ("g9", "Amazon", "COMPETES_WITH", "Microsoft"),
+    ("g9", "Amazon", "COMPETES_WITH", "Google"),
+    ("g9", "Amazon", "COMPETES_WITH", "Alibaba"),
+    ("g10", "Steve Jobs", "CEO_OF", "Apple"),
+    ("g10", "Tim Cook", "CEO_OF", "Apple"),
+    ("g13", "Ford Motors", "LOCATED_IN", "Texas"),
+}
+
+
+def test_triple_precision_recall(spark):
+    res = run_pipeline(spark, golden_transcripts(spark))
+    got = {
+        (r.document_id, r.source, r.type, r.target)
+        for r in res.triples.collect()
+    }
+    tp = len(got & EXPECTED)
+    precision = tp / max(len(got), 1)
+    recall = tp / len(EXPECTED)
+    assert precision >= 0.95, f"precision {precision:.3f} ({got - EXPECTED})"
+    assert recall >= 0.95, f"recall {recall:.3f} ({EXPECTED - got})"
+
+
+def test_insights_and_histogram(spark):
+    res = run_pipeline(spark, golden_transcripts(spark))
+    stats = insights(res.nodes, res.edges).collect()
+    assert len(stats) == 1
+    row = stats[0]
+    assert row["session_id"] == "batch"
+    assert row["total_entities"] == 24
+    assert row["total_relationships"] == 25
+    assert 0.0 <= row["avg_confidence"] <= 1.0
+
+    hist = {r["type"]: r["count"] for r in entity_type_histogram(res.nodes).collect()}
+    # only the 4 observable types can appear (SURVEY.md §1.2)
+    assert set(hist) <= {"PERSON", "ORG", "GPE", "PRODUCT"}
+    assert hist["ORG"] >= 5 and hist["PERSON"] >= 3
+
+
+def test_per_partition_lineage(spark, tmp_path):
+    res = run_pipeline(
+        spark, golden_transcripts(spark), checkpoint_dir=str(tmp_path / "c"), run_id="r"
+    )
+    by_stage = {row["stage"]: row for row in res.lineage}
+    for stage in ("kernel_rows", "entities", "triples", "events"):
+        row = by_stage[stage]
+        assert row["n_partitions"] >= 1
+        assert sum(row["partition_rows"].values()) == row["output_rows"]
