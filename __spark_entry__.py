@@ -405,6 +405,34 @@ def _q_viz_graph(spark, sf_dir):
     return viz_edges(res.edges.filter(F.col("type") != "INVOLVES"))
 
 
+def _q_viz_nodes(spark, sf_dir):
+    # Q2: node projection with group/color map + event nodes unioned
+    from knowledge_graph_builder_spark.operators.graph import build_event_nodes_and_edges, viz_nodes
+    from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
+    from knowledge_graph_builder_spark.sources.synth import golden_transcripts
+
+    res = run_pipeline(spark, golden_transcripts(spark))
+    event_nodes, _ = build_event_nodes_and_edges(res.events, res.nodes)
+    return viz_nodes(res.nodes, event_nodes)
+
+
+def _q_media_features(spark, sf_dir):
+    # multimodal: binary payloads -> deterministic feature vectors
+    from knowledge_graph_builder_spark.operators.multimodal import decode_and_featurize, synth_media
+
+    feats = decode_and_featurize(synth_media(spark, n=30), dim=8)
+    return feats.select(
+        "media_id", "n_bytes", F.round(F.aggregate("feature", F.lit(0.0), lambda a, v: a + v), 4).alias("feat_sum")
+    )
+
+
+def _q_frame_samples(spark, sf_dir):
+    # multimodal: video frame sampling timestamps (stubbed decode)
+    from knowledge_graph_builder_spark.operators.multimodal import sample_frames, synth_media
+
+    return sample_frames(synth_media(spark, n=30), every_ms=500).select("media_id", "frame_idx", "ts_ms")
+
+
 def _q_pdf_ingest(spark, sf_dir):
     # S2: binary-document ingest -> transcripts -> pipeline (stubbed decode)
     from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
@@ -450,7 +478,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize": _q_canonicalize,
         "doc_quality": _q_doc_quality,
         "viz_graph": _q_viz_graph,
+        "viz_nodes": _q_viz_nodes,
         "pdf_ingest": _q_pdf_ingest,
+        "media_features": _q_media_features,
+        "frame_samples": _q_frame_samples,
     }
 
 

@@ -140,11 +140,14 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
             .distinct()
             .localCheckpoint()
         )
-        # converged when every u maps to a single stable minimum
-        changed = small.exceptAll(e).limit(1).count()
-        e = small
-        if changed == 0:
+        # converged when every u maps to a single stable minimum. The
+        # exact set-difference is only evaluated when the cheap
+        # count-compare says it COULD have converged — early iterations
+        # (where the edge set is still shrinking) skip the exceptAll job.
+        if small.count() == e.count() and small.exceptAll(e).limit(1).count() == 0:
+            e = small
             break
+        e = small
     comp = e.groupBy("u").agg(F.min("v").alias("component"))
     return comp.select(F.col("u").alias("name"), "component")
 

@@ -133,6 +133,42 @@ def entity_type_histogram(nodes: DataFrame) -> DataFrame:
     return nodes.groupBy("session_id", "type").agg(F.countDistinct("name").alias("count"))
 
 
+# Q2 color map (reference graph_db.py:205-219).
+_TYPE_COLORS = {
+    "PERSON": "#FF6B6B",
+    "ORG": "#4ECDC4",
+    "GPE": "#45B7D1",
+    "PRODUCT": "#FFA07A",
+    "Event": "#9B59B6",
+}
+
+
+def viz_nodes(nodes: DataFrame, event_nodes: DataFrame | None = None) -> DataFrame:
+    """Q2 — vis-network node projection (graph_db.py:186-256): entity nodes
+    with per-type group/color, event nodes unioned with the Event color."""
+    color = None
+    for t, c in _TYPE_COLORS.items():
+        cond = F.col("type") == t
+        color = F.when(cond, F.lit(c)) if color is None else color.when(cond, F.lit(c))
+    ents = nodes.select(
+        F.col("name").alias("id"),
+        F.col("name").alias("label"),
+        F.col("type").alias("group"),
+        color.otherwise(F.lit("#95A5A6")).alias("color"),
+        F.concat(F.col("name"), F.lit(" ("), F.col("type"), F.lit(")")).alias("title"),
+    )
+    if event_nodes is None:
+        return ents
+    evs = event_nodes.select(
+        F.col("name").alias("id"),
+        F.col("name").alias("label"),
+        F.lit("Event").alias("group"),
+        F.lit(_TYPE_COLORS["Event"]).alias("color"),
+        F.concat(F.col("name"), F.lit(" ["), F.col("event_type"), F.lit("]")).alias("title"),
+    )
+    return ents.unionByName(evs)
+
+
 def viz_edges(edges: DataFrame) -> DataFrame:
     """Q3 — vis-network edge projection (graph_db.py:259-292): width =
     greatest(2, confidence*4), opacity = least(1.0, confidence+0.3)."""
