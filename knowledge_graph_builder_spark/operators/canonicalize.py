@@ -96,7 +96,11 @@ def candidate_pairs(
         .distinct()
     )
 
-    tok = lambda c: F.array_distinct(F.split(_canonical_name(c), r"[^a-z0-9]+"))
+    # NB: split leaves an empty token when the name ends in punctuation
+    # ("x inc." -> ["x","inc",""]); removing it matters — the phantom ""
+    # both inflates cross-name Jaccard (false merges) and deflates
+    # bare-vs-suffixed Jaccard (missed merges).
+    tok = lambda c: F.array_remove(F.array_distinct(F.split(_canonical_name(c), r"[^a-z0-9]+")), "")
     a_t, b_t = tok(F.col("a")), tok(F.col("b"))
     inter = F.size(F.array_intersect(a_t, b_t))
     union = F.size(F.array_union(a_t, b_t))
@@ -117,6 +121,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         .distinct()
         .localCheckpoint()
     )
+    prev_count = -1
     for _ in range(max_iterations):
         # large-star: connect every neighbor >= u to min(neighborhood)
         nbr_min = e.groupBy("u").agg(F.min("v").alias("m"))
@@ -128,9 +133,11 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         keep_small = e.filter(F.col("v") < F.col("u"))
         new_e = large.union(keep_small).union(
             nbr_min.select(F.col("u"), F.col("m").alias("v"))
-        ).distinct().localCheckpoint()
+        ).distinct()
 
-        # small-star: point all smaller neighbors at the minimum
+        # small-star: point all smaller neighbors at the minimum.
+        # ONE lineage-cutting checkpoint per iteration (covers both star
+        # steps) keeps the plan bounded with the fewest eager jobs.
         nbr_min2 = new_e.groupBy("u").agg(F.min("v").alias("m"))
         small = (
             new_e.filter(F.col("v") <= F.col("u"))
@@ -141,12 +148,14 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
             .localCheckpoint()
         )
         # converged when every u maps to a single stable minimum. The
-        # exact set-difference is only evaluated when the cheap
-        # count-compare says it COULD have converged — early iterations
-        # (where the edge set is still shrinking) skip the exceptAll job.
-        if small.count() == e.count() and small.exceptAll(e).limit(1).count() == 0:
+        # exact set-difference runs only when the cheap count-compare says
+        # the iteration COULD have converged — early (shrinking)
+        # iterations skip the exceptAll job entirely.
+        n = small.count()
+        if n == prev_count and small.exceptAll(e).limit(1).count() == 0:
             e = small
             break
+        prev_count = n
         e = small
     comp = e.groupBy("u").agg(F.min("v").alias("component"))
     return comp.select(F.col("u").alias("name"), "component")

@@ -29,6 +29,19 @@ def test_alias_groups_collapse(spark):
     assert by_name["Tim Cook"] == "Tim Cook"  # no alias -> self
 
 
+def test_trailing_punct_token_hygiene(spark):
+    """Names ending in punctuation must not grow a phantom '' token: it
+    would both falsely merge 'X Inc.' with 'Y Inc.' (shared {inc, ''})
+    and miss the true 'X' ~ 'X Inc.' merge."""
+    nodes = spark.createDataFrame(
+        [("aaa111",), ("aaa111 Inc.",), ("bbb222",), ("bbb222 Inc.",)], ["name"]
+    )
+    out = {r["name"]: r["canonical_id"] for r in canonicalize_nodes(nodes).collect()}
+    assert out["aaa111"] == out["aaa111 Inc."]
+    assert out["bbb222"] == out["bbb222 Inc."]
+    assert out["aaa111"] != out["bbb222"]
+
+
 def test_connected_components_chain(spark):
     # a-b, b-c, d-e: two components despite no direct a-c edge
     edges = spark.createDataFrame([("a", "b"), ("b", "c"), ("d", "e")], ["a", "b"])
