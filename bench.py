@@ -204,7 +204,7 @@ def main() -> None:
     # per-job latency at both parallelism levels — the regime the rule's
     # N-vs-4N-executor criterion describes.
     if os.environ.get("KGB_SKIP_SCALING") != "1":
-        scaling_turns = max(n_turns * 8, 3_200_000)
+        scaling_turns = max(n_turns * 6, 2_400_000)
         synth_transcripts_distributed(spark, scaling_turns).write.mode("overwrite").parquet(
             "/tmp/kgb_scaling_transcripts"
         )

@@ -1,0 +1,68 @@
+"""Plan-quality audit: run `.explain` over the headline queries and assert
+the physical properties the 100-TB design depends on:
+
+* parquet scans carry PushedFilters / pruned ReadSchema where expected;
+* scalar logic sits inside WholeStageCodegen spans;
+* dimension joins (nation/region/customer-BUILDING) are broadcast;
+* the fused pipeline contains exactly ONE exchange up to the kernel.
+
+Usage: python tools/explain_audit.py [sf_dir]
+Prints one PASS/FAIL line per check and exits non-zero on failure.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+
+def plan_of(df, execute: bool = False) -> str:
+    if execute:
+        df.collect()  # finalize AQE so codegen stages are visible
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main(sf_dir: str) -> int:
+    import __spark_entry__ as entry
+    from knowledge_graph_builder_spark.session import get_spark
+    from knowledge_graph_builder_spark.operators.extraction import EMIT_GRAPH, extract_from_transcripts
+    from knowledge_graph_builder_spark.sources.synth import golden_transcripts
+
+    spark = get_spark(master="local[4]", shuffle_partitions=8)
+    failures = []
+
+    def check(name: str, ok: bool, detail: str = ""):
+        print(f"[{'PASS' if ok else 'FAIL'}] {name}{(' — ' + detail) if detail and not ok else ''}")
+        if not ok:
+            failures.append(name)
+
+    # 1) predicate pushdown + column pruning on the scan-dominant query
+    q6 = entry.queries()["tpch_q6"](spark, sf_dir)
+    p6 = plan_of(q6, execute=True)
+    check("q6 pushed filters reach parquet", "PushedFilters: [" in p6 and "IsNotNull(l_shipdate)" in p6, p6[:400])
+    check("q6 column pruning (no l_comment)", "l_comment" not in p6)
+    # codegen'd operators print as "*(n) Op" in the finalized plan
+    check("q6 whole-stage codegen", "WholeStageCodegen" in p6 or "*(" in p6, p6[:600])
+
+    # 2) broadcast joins on dimension tables
+    p5 = plan_of(entry.queries()["tpch_q5"](spark, sf_dir))
+    check("q5 broadcasts nation/region", p5.count("BroadcastHashJoin") >= 2, p5[:400])
+    p3 = plan_of(entry.queries()["tpch_q3_top10"](spark, sf_dir))
+    check("q3 broadcasts customer dim", "BroadcastHashJoin" in p3)
+    check("q3 top-k avoids global sort", "TakeOrderedAndProject" in p3)
+
+    # 3) fused pipeline: exactly one exchange up to the kernel
+    kr = extract_from_transcripts(golden_transcripts(spark), 8, emit=EMIT_GRAPH)
+    pk = plan_of(kr)
+    n_ex = pk.count("Exchange ")
+    check("fused kernel has exactly one exchange", n_ex == 1, f"found {n_ex}")
+    check("fused kernel is Arrow-evaluated", "MapInArrow" in pk or "ArrowEvalPython" in pk or "MapInPandas" in pk)
+
+    spark.stop()
+    print(f"\n{len(failures)} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
