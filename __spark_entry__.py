@@ -438,6 +438,13 @@ def _q_viz_graph(spark, sf_dir):
     return viz_edges(res.edges.filter(F.col("type") != "INVOLVES"))
 
 
+def _q_health(spark, sf_dir):
+    # Q4: connectivity probe (reference main.py:47-62)
+    from knowledge_graph_builder_spark.session import health_check
+
+    return spark.createDataFrame([(health_check(spark)["status"],)], "status string")
+
+
 def _q_viz_nodes(spark, sf_dir):
     # Q2: node projection with group/color map + event nodes unioned
     from knowledge_graph_builder_spark.operators.graph import build_event_nodes_and_edges, viz_nodes
@@ -500,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "cosine_neardup": _q_cosine_neardup,
         "quality_flags": _q_quality_flags,
+        "health": _q_health,
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
         "lang_markers": _q_lang_markers,
@@ -732,6 +740,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, l.l_orderkey
             LIMIT 10
         """,
+        "health": "SELECT 'healthy' AS status",
         "dedup_exact": """
             WITH fp AS (
               SELECT doc_id,

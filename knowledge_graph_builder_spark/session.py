@@ -42,3 +42,14 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def health_check(spark: SparkSession) -> dict:
+    """Q4 — connectivity probe (reference main.py:47-62): one trivial job
+    proves the session schedules and executes."""
+    n = spark.range(1).count()
+    return {
+        "status": "healthy" if n == 1 else "unhealthy",
+        "spark_version": spark.version,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+    }

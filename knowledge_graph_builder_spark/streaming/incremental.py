@@ -105,6 +105,41 @@ def make_stateful_update(quiet_ms: int):
     return update
 
 
+def stream_turn_stats(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+):
+    """Event-time windowed turn statistics with a watermark for late data:
+    per (window, role) turn counts and mean text length, appended once the
+    watermark passes the window end. The monitoring side-channel of the
+    streaming pipeline (and the engine's windowed-agg + watermark
+    exemplar)."""
+    stream = read_transcript_stream(spark, input_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "role")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.avg(F.length("text")).alias("avg_len"),
+            F.approx_count_distinct("conv_id").alias("n_convs"),
+        )
+        .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"),
+                "role", "n_turns", "avg_len", "n_convs")
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", f"{output_dir}/turn_stats")
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_kg_stateful(
     spark: SparkSession,
     input_path: str,

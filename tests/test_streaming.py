@@ -14,7 +14,33 @@ from knowledge_graph_builder_spark.sources.synth import golden_transcripts
 from knowledge_graph_builder_spark.streaming.incremental import (
     stream_kg_foreachbatch,
     stream_kg_stateful,
+    stream_turn_stats,
 )
+
+
+def test_watermarked_turn_stats(spark, tmp_path):
+    import datetime as dt
+
+    from knowledge_graph_builder_spark.schema import TRANSCRIPTS
+
+    # one turn per minute for 10 minutes: append-mode windows close only
+    # once the watermark (max event time) passes their end, so the final
+    # minute's window correctly stays open and unemitted.
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (f"c{i}", 0, "user", f"turn {i}", "", base + dt.timedelta(minutes=i, seconds=1))
+        for i in range(10)
+    ]
+    tr = spark.createDataFrame(rows, TRANSCRIPTS)
+    inp = str(tmp_path / "win")
+    tr.repartition(2).write.parquet(inp)
+    out, ckpt = str(tmp_path / "wout"), str(tmp_path / "wckpt")
+    q = stream_turn_stats(spark, inp, out, ckpt, window="1 minute", watermark="0 seconds")
+    q.awaitTermination(120)
+    got = spark.read.parquet(f"{out}/turn_stats").collect()
+    # windows 0..8 closed (watermark reaches 9min01s); window 9 still open
+    assert sum(r.n_turns for r in got) == 9
+    assert all(r.role == "user" and r.n_turns == 1 and r.avg_len > 0 for r in got)
 
 
 def test_foreachbatch_matches_batch(spark, tmp_path):
