@@ -64,6 +64,14 @@ GOLDEN_TEXTS: dict[str, list[str]] = {
         "Apple Inc. is headquartered in Cupertino.",
         "Tesla Corp. competes with Ford Motors in Texas.",
     ],
+    # rule-path widening (round 1): R2 hq/based tiers, R3 developed/
+    # manufactures tiers, R1 EMPLOYED_BY indicator, SVO-only predicate
+    "g14": ["Apple is headquartered in Cupertino."],
+    "g15": ["Microsoft is based in Redmond."],
+    "g16": ["Google developed Android."],
+    "g17": ["Tim Cook works at Apple."],
+    "g18": ["Apple collaborates with Microsoft."],
+    "g19": ["Sony manufactures the PlayStation."],
 }
 
 # Filler sentence templates for bulk conversations. Vocabulary is chosen

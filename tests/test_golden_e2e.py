@@ -155,6 +155,47 @@ def test_g13_suffix_quirk(result):
     }
 
 
+def test_g14_headquartered_tier(result):
+    _, _, triples, _ = result
+    # R2 hq phrase -> 0.95; the SVO duplicate (same type key) dies in D1
+    assert t(triples, "g14") == {("Apple", "HEADQUARTERED_IN", "Cupertino", 0.95, None, None)}
+
+
+def test_g15_based_in_tier_plus_svo(result):
+    _, _, triples, _ = result
+    # R2 'based in' -> LOCATED_IN 0.85; SVO lemma 'base' maps to
+    # HEADQUARTERED_IN (different D1 key) and survives at R7's 0.7
+    assert t(triples, "g15") == {
+        ("Microsoft", "LOCATED_IN", "Redmond", 0.85, None, None),
+        ("Microsoft", "HEADQUARTERED_IN", "Redmond", 0.7, None, None),
+    }
+
+
+def test_g16_develops_tier(result):
+    _, _, triples, _ = result
+    assert t(triples, "g16") == {("Google", "DEVELOPS", "Android", 0.85, None, None)}
+
+
+def test_g17_employed_by_indicator(result):
+    _, _, triples, _ = result
+    # R1 'works at' indicator -> EMPLOYED_BY 0.95 (indicator-driven only;
+    # the bare co-occurrence fallback never survives the threshold)
+    assert t(triples, "g17") == {("Tim Cook", "EMPLOYED_BY", "Apple", 0.95, None, None)}
+
+
+def test_g18_svo_collaborates(result):
+    _, _, triples, _ = result
+    # SVO-only predicate: no Strategy-1 rule emits COLLABORATES_WITH
+    assert t(triples, "g18") == {("Apple", "COLLABORATES_WITH", "Microsoft", 0.7, None, None)}
+
+
+def test_g19_manufactures_tier(result):
+    _, _, triples, _ = result
+    # R3 'manufactures' -> PRODUCES 0.9; the SVO endpoint carries the
+    # determiner ('the PlayStation') and dies in validation
+    assert t(triples, "g19") == {("Sony", "PRODUCES", "PlayStation", 0.9, None, None)}
+
+
 def test_graph_tables(result):
     res, _, _, _ = result
     nodes = {(r.name, r.type) for r in res.nodes.collect()}

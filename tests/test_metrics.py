@@ -31,6 +31,13 @@ EXPECTED = {
     ("g10", "Steve Jobs", "CEO_OF", "Apple"),
     ("g10", "Tim Cook", "CEO_OF", "Apple"),
     ("g13", "Ford Motors", "LOCATED_IN", "Texas"),
+    ("g14", "Apple", "HEADQUARTERED_IN", "Cupertino"),
+    ("g15", "Microsoft", "LOCATED_IN", "Redmond"),
+    ("g15", "Microsoft", "HEADQUARTERED_IN", "Redmond"),
+    ("g16", "Google", "DEVELOPS", "Android"),
+    ("g17", "Tim Cook", "EMPLOYED_BY", "Apple"),
+    ("g18", "Apple", "COLLABORATES_WITH", "Microsoft"),
+    ("g19", "Sony", "PRODUCES", "PlayStation"),
 }
 
 
@@ -53,8 +60,8 @@ def test_insights_and_histogram(spark):
     assert len(stats) == 1
     row = stats[0]
     assert row["session_id"] == "batch"
-    assert row["total_entities"] == 24
-    assert row["total_relationships"] == 25
+    assert row["total_entities"] == 27
+    assert row["total_relationships"] == 32
     assert 0.0 <= row["avg_confidence"] <= 1.0
 
     hist = {r["type"]: r["count"] for r in entity_type_histogram(res.nodes).collect()}
