@@ -154,10 +154,36 @@ def simhash_col(text_col, bits: int = 64):
     return F.concat_ws("", F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))))
 
 
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """(doc_id, simhash) via explode + 64 flat partial-aggregable sums —
+    identical fingerprints to simhash_col, but the per-token work is flat
+    column arithmetic instead of per-row 64-element array folding (map-side
+    combine does most of the reduction before the shuffle)."""
+    tokens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text_col(F.col(text_col)), " ")).alias("tok"),
+    )
+    hashed = tokens.select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.getbit("h", F.lit(b)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    return votes.select(
+        "doc_id",
+        F.concat(
+            *[F.when(F.col(f"b{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
+        ).alias("simhash"),
+    )
+
+
 def simhash_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", band_bits: int = 16) -> DataFrame:
     """Near-dup candidates sharing any 16-bit SimHash band (Hamming-
     distance blocking). Returns (a, b, simhash_a, simhash_b)."""
-    fp = docs.select(F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col)).alias("simhash"))
+    fp = simhash_fingerprints(docs, id_col, text_col)
     n_bands = 64 // band_bits
     bands = fp.select(
         "doc_id",
