@@ -72,6 +72,8 @@ GOLDEN_TEXTS: dict[str, list[str]] = {
     "g17": ["Tim Cook works at Apple."],
     "g18": ["Apple collaborates with Microsoft."],
     "g19": ["Sony manufactures the PlayStation."],
+    # EV6 location + dual R2/R3 firing in one sentence
+    "g20": ["Apple launched the iPhone in Cupertino."],
 }
 
 # Filler sentence templates for bulk conversations. Vocabulary is chosen

@@ -212,3 +212,16 @@ def test_graph_tables(result):
         if r.type != "INVOLVES":
             assert r.src in {n for n, _ in nodes}
             assert r.dst in {n for n, _ in nodes}
+
+
+def test_g20_event_location_and_dual_rules(result):
+    _, _, triples, events = result
+    # one sentence fires both R3 (released -> RELEASED 0.9) and R2
+    # (default LOCATED_IN 0.65); the event captures the GPE as location
+    assert t(triples, "g20") == {
+        ("Apple", "RELEASED", "iPhone", 0.9, None, None),
+        ("Apple", "LOCATED_IN", "Cupertino", 0.65, None, None),
+    }
+    assert events["g20"] == {
+        ("ProductLaunch", "Apple product launch", ("Apple", "iPhone"), None, None, "Cupertino", 0.7)
+    }

@@ -38,6 +38,8 @@ EXPECTED = {
     ("g17", "Tim Cook", "EMPLOYED_BY", "Apple"),
     ("g18", "Apple", "COLLABORATES_WITH", "Microsoft"),
     ("g19", "Sony", "PRODUCES", "PlayStation"),
+    ("g20", "Apple", "RELEASED", "iPhone"),
+    ("g20", "Apple", "LOCATED_IN", "Cupertino"),
 }
 
 
@@ -61,7 +63,7 @@ def test_insights_and_histogram(spark):
     row = stats[0]
     assert row["session_id"] == "batch"
     assert row["total_entities"] == 27
-    assert row["total_relationships"] == 32
+    assert row["total_relationships"] == 33
     assert 0.0 <= row["avg_confidence"] <= 1.0
 
     hist = {r["type"]: r["count"] for r in entity_type_histogram(res.nodes).collect()}

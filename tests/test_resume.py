@@ -24,7 +24,7 @@ def test_resume_reuses_completed_stages(spark, tmp_path):
 
     r1 = run_pipeline(spark, tr, checkpoint_dir=ckpt, run_id="r1")
     base = _triples(r1)
-    assert len(base) == 24
+    assert len(base) == 26
     stages = {row["stage"] for row in r1.lineage}
     assert {"kernel_rows", "entities", "triples", "events"} <= stages
     assert all(not row.get("resumed") for row in r1.lineage)

@@ -62,7 +62,7 @@ def test_foreachbatch_matches_batch(spark, tmp_path):
         tuple(r)
         for r in run_pipeline(spark, tr).triples.select("document_id", "source", "type", "target").collect()
     }
-    assert streamed == batch and len(batch) == 24
+    assert streamed == batch and len(batch) == 26
 
 
 def test_stateful_assembly_across_batches(spark, tmp_path):
