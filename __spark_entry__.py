@@ -269,6 +269,30 @@ def _q_tpch_q6(spark, sf_dir):
     return li.agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
 
 
+def _q_percentiles(spark, sf_dir):
+    # exact interpolated percentiles per group (Spark percentile ==
+    # DuckDB quantile_cont, both linear interpolation)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
+    )
+
+
+def _q_pivot(spark, sf_dir):
+    # pivot: linestatus columns per returnflag (explicit value list)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .withColumnRenamed("F", "n_f")
+        .withColumnRenamed("O", "n_o")
+        .na.fill(0, ["n_f", "n_o"])
+    )
+
+
 def _q_rollup(spark, sf_dir):
     # grouping-sets family: ROLLUP over (returnflag, linestatus)
     li = _t(spark, sf_dir, "lineitem")
@@ -499,6 +523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_top10": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
         "tpch_q6": _q_tpch_q6,
+        "percentiles": _q_percentiles,
+        "pivot_counts": _q_pivot,
         "rollup_agg": _q_rollup,
         "set_ops": _q_set_ops,
         "asof_join": _q_asof_join,
@@ -543,6 +569,19 @@ def _stopword_hits_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+                   round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+                   round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "pivot_counts": """
+            SELECT l_returnflag,
+                   count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+                   count(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "rollup_agg": """
             SELECT l_returnflag, l_linestatus,
                    count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
