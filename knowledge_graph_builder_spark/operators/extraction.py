@@ -75,6 +75,29 @@ def _rows_to_batch(rows: list[tuple]):
     return pa.RecordBatch.from_arrays(arrays, schema=schema)
 
 
+# Arrow string columns use int32 offsets (2 GB hard cap per array). Rows
+# from documents with huge sentences repeat the sentence string per
+# mention, so batches must be split by BYTE budget, not only row count —
+# a row-count-only cap overflows on one pathological document.
+_EMIT_BYTES = 256 << 20
+
+
+def _rows_to_batches(rows: list[tuple]):
+    """Split buffered rows into RecordBatches whose string volume stays
+    far under Arrow's 2 GB per-column offset limit."""
+    out = []
+    start = 0
+    b = 0
+    for i, r in enumerate(rows):
+        b += len(r[2] or "") + len(r[4] or "") + 64  # sentence + text dominate
+        if b >= _EMIT_BYTES:
+            out.append(_rows_to_batch(rows[start : i + 1]))
+            start, b = i + 1, 0
+    if start < len(rows) or not out:
+        out.append(_rows_to_batch(rows[start:]))
+    return out
+
+
 # Emission sets for the kernel. ANALYSIS = parse artifacts consumed by the
 # relational operator path; GRAPH = finished per-document outputs consumed
 # by the single-shuffle fast path (plans/pipeline.py).
@@ -181,12 +204,12 @@ def _make_fused_kernel(emit: frozenset):
                     cur_parts.append(text or "")
                     cur_len += len(text or "") + 1
             if len(rows) >= _EMIT_EVERY:
-                yield _rows_to_batch(rows)
+                yield from _rows_to_batches(rows)
                 rows = []
         if cur_conv is not None:
             flush()
         if rows:
-            yield _rows_to_batch(rows)
+            yield from _rows_to_batches(rows)
 
     return _fused_kernel
 

@@ -155,18 +155,26 @@ def sentence_mentions(kernel_rows: DataFrame) -> DataFrame:
     endpoints are raw `ent.text`, which is what makes suffix-carrying
     endpoints die in validation (SURVEY.md §2.6 V2). The sentence string
     itself is dropped to keep the pair joins narrow."""
+    from ..rules import MAX_BUCKET_PER_SENTENCE
+
     m = kernel_rows.filter(F.col("kind") == "mention").filter(
         F.col("ctype").isin("PERSON", "ORG", "GPE", "PRODUCT", "EVENT")
     )
     rank_w = Window.partitionBy("conv_id", "sent_idx", "ctype").orderBy("start_char")
-    return m.select(
-        "conv_id",
-        "sent_idx",
-        "text",
-        "ctype",
-        "start_char",
-        (F.instr(F.lower(F.col("sentence")), F.lower(F.col("text"))) - 1).alias("find_pos"),
-    ).withColumn("type_rank", F.row_number().over(rank_w))
+    return (
+        m.select(
+            "conv_id",
+            "sent_idx",
+            "text",
+            "ctype",
+            "start_char",
+            (F.instr(F.lower(F.col("sentence")), F.lower(F.col("text"))) - 1).alias("find_pos"),
+        )
+        .withColumn("type_rank", F.row_number().over(rank_w))
+        # fan-out guard, mirrored from the kernel path (rules.py) so the
+        # two formulations stay pair-for-pair identical
+        .filter(F.col("type_rank") <= MAX_BUCKET_PER_SENTENCE)
+    )
 
 
 def _typed(mentions: DataFrame, ctype: str, alias: str) -> DataFrame:

@@ -46,6 +46,17 @@ ROLE_INDICATOR_PAIRS: list[tuple[str, str]] = [
 # (reference relationship_logic.py:170).
 ROLE_INDICATOR_MAX_DISTANCE = 80
 
+# Engineering guard with no reference counterpart: cap each per-sentence
+# entity-type bucket before the pair rules. A pathological document with
+# no sentence boundaries (one multi-megabyte "sentence") otherwise turns
+# the sentence-scoped cross products quadratic — tens of thousands of
+# mentions per bucket -> billions of pairs in ONE task. The reference
+# would hang identically; at 10^12-turn scale such documents are a
+# certainty, so the fan-out must be bounded by construction (same
+# philosophy as the dedup/canonicalization block caps). 50 x 50 pairs per
+# sentence is far above any real sentence's entity count.
+MAX_BUCKET_PER_SENTENCE = 50
+
 # ---------------------------------------------------------------------------
 # Verb-lemma -> relationship map for SVO extraction
 # (reference relationship_logic.py:31-101). Lookup key is the verb LEMMA,

@@ -40,6 +40,7 @@ from .rules import (
     HIGH_CONFIDENCE_VERBS,
     KNOWN_COMPANIES,
     KNOWN_PRODUCTS,
+    MAX_BUCKET_PER_SENTENCE,
     MIN_CONFIDENCE_THRESHOLD,
     ORG_SUFFIXES,
     ROLE_INDICATOR_MAX_DISTANCE,
@@ -588,6 +589,8 @@ def extract_svo(sentence: str, mentions: list[Mention], sent_start: int) -> list
         elif between_words & _PREPOSITIONS:
             objects.append(m)  # prepositional object
         prev_end = m.end
+        if len(objects) >= MAX_BUCKET_PER_SENTENCE:
+            break  # fan-out guard — see rules.MAX_BUCKET_PER_SENTENCE
 
     out: list[SvoCandidate] = []
     subj_text = _expand_determiners(sentence, subj, sent_start)
@@ -694,6 +697,12 @@ def extract_rule_candidates(
             gpes.append(m)
         elif ctype == "PRODUCT":
             products.append(m)
+    # fan-out guard (rules.MAX_BUCKET_PER_SENTENCE): keep the FIRST N of
+    # each bucket (document order), bounding every pair loop below
+    persons = persons[:MAX_BUCKET_PER_SENTENCE]
+    orgs = orgs[:MAX_BUCKET_PER_SENTENCE]
+    gpes = gpes[:MAX_BUCKET_PER_SENTENCE]
+    products = products[:MAX_BUCKET_PER_SENTENCE]
 
     find_cache: dict[str, int] = {}
 

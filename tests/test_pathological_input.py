@@ -1,0 +1,57 @@
+"""Fan-out guard regression: a document with NO sentence boundaries (one
+giant 'sentence' with thousands of entity mentions) must stay bounded —
+without rules.MAX_BUCKET_PER_SENTENCE the per-sentence pair rules go
+quadratic (billions of pairs in one task) and the job effectively hangs.
+Both formulations must stay pair-for-pair identical under the cap."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from knowledge_graph_builder_spark import textkit
+from knowledge_graph_builder_spark.operators.extraction import extract_from_transcripts
+from knowledge_graph_builder_spark.operators.relationships import (
+    candidate_relationships,
+    candidates_from_kernel,
+)
+from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
+from knowledge_graph_builder_spark.rules import MAX_BUCKET_PER_SENTENCE
+from knowledge_graph_builder_spark.schema import TRANSCRIPTS
+
+
+def _boundaryless_transcripts(spark, n_turns=3000):
+    rows = [
+        ("mono", i, "user", f"Apple released the iPhone in 2007 for $599 run {i}", "", None)
+        for i in range(n_turns)
+    ]
+    return spark.createDataFrame(rows, TRANSCRIPTS)
+
+
+def test_boundaryless_document_is_bounded(spark):
+    tr = _boundaryless_transcripts(spark)
+    res = run_pipeline(spark, tr, persist=False)
+    triples = res.triples.collect()
+    # dedup collapses the repeated pairings; the doc still yields its graph
+    assert {(t.source, t.type, t.target) for t in triples} == {("Apple", "RELEASED", "iPhone")}
+    # candidate volume is capped: <= bucket^2 per rule family + capped SVO
+    n_cands = candidates_from_kernel(
+        extract_from_transcripts(tr, 4)
+    ).count()
+    assert n_cands <= 3 * MAX_BUCKET_PER_SENTENCE**2
+
+
+def test_capped_paths_stay_identical(spark):
+    tr = _boundaryless_transcripts(spark, n_turns=400)
+    kr = extract_from_transcripts(tr, 4)
+    cols = ["conv_id", "sent_idx", "source", "target", "type", "confidence", "rule_pri", "ord_a", "ord_b"]
+    kernel_side = Counter(tuple(r) for r in candidates_from_kernel(kr).select(*cols).collect())
+    relational_side = Counter(tuple(r) for r in candidate_relationships(kr, persist=False).select(*cols).collect())
+    assert kernel_side == relational_side and sum(kernel_side.values()) > 0
+
+
+def test_bucket_cap_in_pure_kernel():
+    text = " ".join(f"Apple released the iPhone in 2007 for $599 run {i}" for i in range(2000))
+    an = textkit.analyze_document(text)
+    assert len(an.sentences) == 1  # genuinely boundary-free
+    per_rule = Counter(c.rule_pri for _si, c in an.candidates)
+    assert per_rule.get(3, 0) <= MAX_BUCKET_PER_SENTENCE**2
