@@ -83,7 +83,9 @@ def _pipeline_only(cpus: int, transcripts_path: str, n_turns: int) -> None:
     ).triples.count()
     best = float("inf")
     n_triples = 0
-    for _ in range(2):
+    # more samples at higher parallelism: those runs are cheap and their
+    # best-of estimate is the noise-sensitive numerator of the efficiency
+    for _ in range(2 if cpus <= 4 else 3):
         t0 = time.monotonic()
         res = run_pipeline(spark, transcripts, kernel_partitions=cpus, persist=False)
         n_triples = res.triples.count()
