@@ -28,6 +28,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--run-id", default="run-0")
     p.add_argument("--session-id", default="batch")
     p.add_argument("--partitions", type=int, default=None, help="kernel parallelism")
+    p.add_argument("--format", default=None, choices=["parquet", "json", "csv"],
+                   help="input format (default: inferred from path / parquet)")
     p.add_argument("--streaming", action="store_true", help="run the foreachBatch streaming pipeline")
     args = p.parse_args(argv)
 
@@ -47,7 +49,7 @@ def main(argv: list[str] | None = None) -> int:
     from .plans.pipeline import run_pipeline
     from .sources.transcripts import read_transcripts
 
-    transcripts = read_transcripts(spark, args.table or args.input)
+    transcripts = read_transcripts(spark, args.table or args.input, fmt=args.format)
     res = run_pipeline(
         spark,
         transcripts,

@@ -17,18 +17,32 @@ from pyspark.sql import DataFrame, SparkSession
 from ..schema import TRANSCRIPTS
 
 
-def read_transcripts(spark: SparkSession, source: str) -> DataFrame:
+def read_transcripts(spark: SparkSession, source: str, fmt: str | None = None) -> DataFrame:
     """Read the transcripts table.
 
     ``source`` may be an Iceberg table identifier (``catalog.db.table``,
-    used when the session has an Iceberg catalog) or a parquet path.
+    used when the session has an Iceberg catalog) or a path; ``fmt``
+    selects ``parquet`` (default for paths), ``json`` (JSON-lines), or
+    ``csv`` (with header). All formats are schema-asserted — inference is
+    never used (SURVEY.md §1.3).
     """
-    if "/" not in source and "." in source:
+    if fmt is None and "/" not in source and "." in source:
         try:
             return spark.read.format("iceberg").load(source)
         except Exception:
             pass  # no Iceberg runtime in this environment — parquet fallback
-    return spark.read.schema(TRANSCRIPTS).parquet(source)
+    if fmt is None and source.rstrip("/").endswith((".jsonl", ".json")):
+        fmt = "json"
+    if fmt is None and source.rstrip("/").endswith(".csv"):
+        fmt = "csv"
+    reader = spark.read.schema(TRANSCRIPTS)
+    if fmt == "json":
+        return reader.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]").json(source)
+    if fmt == "csv":
+        return reader.option("header", "true").option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]"
+        ).csv(source)
+    return reader.parquet(source)
 
 
 def write_transcripts(df: DataFrame, path: str, buckets: int = 0) -> None:

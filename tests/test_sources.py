@@ -1,0 +1,65 @@
+"""Transcript source formats (parquet / JSON-lines / CSV) must feed the
+pipeline identically, and the streaming foreachBatch checkpoint must make
+restarts idempotent (a restart with the same checkpoint reprocesses
+nothing; new files process exactly once)."""
+
+from __future__ import annotations
+
+from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
+from knowledge_graph_builder_spark.sources.synth import golden_transcripts
+from knowledge_graph_builder_spark.sources.transcripts import read_transcripts
+from knowledge_graph_builder_spark.streaming.incremental import stream_kg_foreachbatch
+
+
+def _triple_set(spark, tr):
+    return {
+        tuple(r)
+        for r in run_pipeline(spark, tr, persist=False)
+        .triples.select("document_id", "source", "type", "target")
+        .collect()
+    }
+
+
+def test_json_and_csv_sources_match_parquet(spark, tmp_path):
+    tr = golden_transcripts(spark)
+    base = _triple_set(spark, tr)
+
+    pq = str(tmp_path / "t_parquet")
+    tr.write.parquet(pq)
+    assert _triple_set(spark, read_transcripts(spark, pq)) == base
+
+    js = str(tmp_path / "t.jsonl")
+    tr.write.json(js)
+    assert _triple_set(spark, read_transcripts(spark, js, fmt="json")) == base
+
+    cs = str(tmp_path / "t.csv")
+    tr.write.option("header", "true").csv(cs)
+    assert _triple_set(spark, read_transcripts(spark, cs, fmt="csv")) == base
+
+
+def test_streaming_restart_is_idempotent(spark, tmp_path):
+    tr = golden_transcripts(spark)
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    tr.filter("conv_id <= 'g5'").repartition(1).write.mode("append").parquet(inp)
+
+    q1 = stream_kg_foreachbatch(spark, inp, out, ckpt, available_now=True)
+    q1.awaitTermination(120)
+    first = spark.read.parquet(f"{out}/triples/batch=*").count()
+    assert first > 0
+
+    # restart with the SAME checkpoint and no new data: nothing reprocessed
+    q2 = stream_kg_foreachbatch(spark, inp, out, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{out}/triples/batch=*").count() == first
+
+    # add the remaining conversations; restart processes exactly the delta
+    tr.filter("conv_id > 'g5'").repartition(1).write.mode("append").parquet(inp)
+    q3 = stream_kg_foreachbatch(spark, inp, out, ckpt, available_now=True)
+    q3.awaitTermination(120)
+    streamed = {
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/triples/batch=*")
+        .select("document_id", "source", "type", "target")
+        .collect()
+    }
+    assert streamed == _triple_set(spark, tr)
