@@ -314,14 +314,18 @@ def _strip_punct(tok: str) -> tuple[str, int, int]:
     return core, lead, trail
 
 
-def detect_mentions(sentence: str, sent_start: int) -> list[Mention]:
+def detect_mentions(
+    sentence: str, sent_start: int, tokens: list[tuple[str, int, int]] | None = None
+) -> list[Mention]:
     """Scan one sentence left-to-right for entity and metadata spans.
 
     Precedence at each token position: gazetteer longest-match > money >
     percent > date-phrase/date > ordinal > cardinal > capitalized-run ORG.
     Offsets are document-level (``sent_start`` + in-sentence offset).
+    ``tokens`` lets the caller share one tokenization across passes.
     """
-    tokens = _tokenize(sentence)
+    if tokens is None:
+        tokens = _tokenize(sentence)
     lower = sentence.lower()
     mentions: list[Mention] = []
     i = 0
@@ -539,7 +543,12 @@ class SvoCandidate:
     order: int  # emission order within the sentence
 
 
-def extract_svo(sentence: str, mentions: list[Mention], sent_start: int) -> list[SvoCandidate]:
+def extract_svo(
+    sentence: str,
+    mentions: list[Mention],
+    sent_start: int,
+    tokens: list[tuple[str, int, int]] | None = None,
+) -> list[SvoCandidate]:
     """Verb-anchored SVO approximation of the reference's dependency walk
     (relationship_logic.py:176-256).
 
@@ -554,7 +563,8 @@ def extract_svo(sentence: str, mentions: list[Mention], sent_start: int) -> list
       the reference's full-subtree join ("the iPhone"), which is what
       makes most SVO endpoints fail the validator's exact-name match.
     """
-    tokens = _tokenize(sentence)
+    if tokens is None:
+        tokens = _tokenize(sentence)
     verb_idx = None
     verb_lemma = None
     for idx, (tok, ts, te) in enumerate(tokens):
@@ -899,9 +909,10 @@ def analyze_document(text: str, max_length: int = 2_000_000) -> DocumentAnalysis
     all_svos: list[tuple[int, SvoCandidate]] = []
     candidates: list[tuple[int, RuleCandidate]] = []
     for sent_idx, (sent, start) in enumerate(sentences):
-        sm = detect_mentions(sent, start)
+        toks = _tokenize(sent)
+        sm = detect_mentions(sent, start, toks)
         all_mentions.extend((sent_idx, m) for m in sm)
-        svos = extract_svo(sent, sm, start)
+        svos = extract_svo(sent, sm, start, toks)
         all_svos.extend((sent_idx, s) for s in svos)
         candidates.extend((sent_idx, c) for c in extract_rule_candidates(sent, sm, svos))
 
@@ -1073,7 +1084,8 @@ def parse_document(text: str, max_length: int = 2_000_000) -> ParsedDocument:
     mentions: list[tuple[int, Mention]] = []
     svos: list[tuple[int, SvoCandidate]] = []
     for sent_idx, (sent, start) in enumerate(sentences):
-        sent_mentions = detect_mentions(sent, start)
+        toks = _tokenize(sent)
+        sent_mentions = detect_mentions(sent, start, toks)
         mentions.extend((sent_idx, m) for m in sent_mentions)
-        svos.extend((sent_idx, s) for s in extract_svo(sent, sent_mentions, start))
+        svos.extend((sent_idx, s) for s in extract_svo(sent, sent_mentions, start, toks))
     return ParsedDocument(sentences, mentions, svos)
