@@ -462,6 +462,32 @@ def _q_viz_graph(spark, sf_dir):
     return viz_edges(res.edges.filter(F.col("type") != "INVOLVES"))
 
 
+def _q_word_freq(spark, sf_dir):
+    # corpus token frequency: normalize -> explode -> agg -> global top-20
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "), r"\s+", " "))
+    return (
+        d.select(F.explode(F.split(norm, " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+
+
+def _q_label_stats(spark, sf_dir):
+    # per-label embedding stats: count + mean vector norm (rounded)
+    e = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
+    return (
+        e.withColumn("norm", norm)
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.round(F.avg("norm"), 4).alias("avg_norm"))
+    )
+
+
 def _q_health(spark, sf_dir):
     # Q4: connectivity probe (reference main.py:47-62)
     from knowledge_graph_builder_spark.session import health_check
@@ -534,6 +560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup": _q_cosine_neardup,
         "quality_flags": _q_quality_flags,
         "health": _q_health,
+        "word_freq_topk": _q_word_freq,
+        "label_stats": _q_label_stats,
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
         "lang_markers": _q_lang_markers,
@@ -780,6 +808,23 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "health": "SELECT 'healthy' AS status",
+        "word_freq_topk": """
+            SELECT word, count(*) AS n
+            FROM (
+              SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS word
+              FROM documents
+            )
+            WHERE length(word) >= 2
+            GROUP BY word
+            ORDER BY n DESC, word
+            LIMIT 20
+        """,
+        "label_stats": """
+            SELECT label, count(*) AS n,
+                   round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
+            FROM embeddings GROUP BY label
+        """,
         "dedup_exact": """
             WITH fp AS (
               SELECT doc_id,
