@@ -523,6 +523,23 @@ def _q_frame_samples(spark, sf_dir):
     return sample_frames(synth_media(spark, n=30), every_ms=500).select("media_id", "frame_idx", "ts_ms")
 
 
+def _q_entity_linking(spark, sf_dir):
+    # north_star: scored mention -> canonical-entity links over the golden KG
+    from knowledge_graph_builder_spark.operators.extraction import EMIT_ANALYSIS, extract_from_transcripts
+    from knowledge_graph_builder_spark.operators.linking import link_mentions
+    from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
+    from knowledge_graph_builder_spark.sources.synth import golden_transcripts
+
+    tr = golden_transcripts(spark)
+    mentions = (
+        extract_from_transcripts(tr, 4, emit=EMIT_ANALYSIS)
+        .filter(F.col("kind") == "mention")
+        .select(F.col("text").alias("mention"))
+    )
+    nodes = run_pipeline(spark, tr).nodes
+    return link_mentions(mentions, nodes)
+
+
 def _q_pdf_ingest(spark, sf_dir):
     # S2: binary-document ingest -> transcripts -> pipeline (stubbed decode)
     from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
@@ -577,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viz_graph": _q_viz_graph,
         "viz_nodes": _q_viz_nodes,
         "pdf_ingest": _q_pdf_ingest,
+        "entity_linking": _q_entity_linking,
         "media_features": _q_media_features,
         "frame_samples": _q_frame_samples,
     }

@@ -58,3 +58,21 @@ def test_rewrite_edges(spark):
     edges = spark.createDataFrame([("Apple Inc", "MSFT")], ["src", "dst"])
     out = rewrite_edges_canonical(edges, canonical).collect()[0]
     assert out["src_canonical"] == "Apple" and out["dst_canonical"] == "MSFT"
+
+
+def test_entity_link_scoring(spark):
+    from knowledge_graph_builder_spark.operators.linking import link_mentions
+
+    mentions = spark.createDataFrame(
+        [("Apple Inc.",), ("apple",), ("the iPhone",), ("Microsft Corp",), ("Banana",)],
+        ["mention"],
+    )
+    entities = spark.createDataFrame(
+        [("Apple",), ("iPhone",), ("Microsoft",)], ["name"]
+    )
+    links = {r["mention"]: (r["entity"], r["link_score"]) for r in link_mentions(mentions, entities).collect()}
+    assert links["Apple Inc."][0] == "Apple"
+    assert links["apple"][0] == "Apple" and links["apple"][1] == 1.0  # exact
+    assert links["the iPhone"][0] == "iPhone"
+    # typo'd org shares no token with any entity -> unlinked; unrelated too
+    assert "Microsft Corp" not in links and "Banana" not in links
