@@ -38,6 +38,8 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="kgb-submit")
 
     if args.streaming:
+        if not args.input:
+            p.error("--streaming requires --input (a parquet path; table streams need an Iceberg catalog)")
         from .streaming.incremental import stream_kg_foreachbatch
 
         q = stream_kg_foreachbatch(

@@ -67,7 +67,6 @@ def lsh_candidate_pairs(
     signatures: DataFrame, n_bands: int = 4, max_bucket: int = 200
 ) -> DataFrame:
     """(a, b) candidate near-duplicate pairs from banded minhash buckets."""
-    n_hashes = None  # derived per-row below via slice
     rows_per_band = F.size("sig") / n_bands
     bands = signatures.select(
         "doc_id",

@@ -149,9 +149,12 @@ def extract_events(kernel_rows: DataFrame, entities: DataFrame, sentence_metadat
     named = with_meta.withColumn("name", name)
 
     # D2 — first-seen on (event_type, sorted participants)
-    # (event_extraction.py:151-159); "first" = sentence order.
+    # (event_extraction.py:151-159); "first" = sentence order. The join
+    # separator is a control char written as an ESCAPE so reviewers can
+    # see it is non-empty (an empty separator would collide distinct
+    # participant lists like ['AB'] vs ['A','B']).
     d2 = Window.partitionBy(
-        "conv_id", "event_type", F.array_join(F.array_sort("participants"), "")
+        "conv_id", "event_type", F.array_join(F.array_sort("participants"), "\x1f")
     ).orderBy("sent_idx")
     deduped = named.withColumn("_rn", F.row_number().over(d2)).filter(F.col("_rn") == 1)
 

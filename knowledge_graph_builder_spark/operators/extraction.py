@@ -349,9 +349,13 @@ def force_detect_hits(transcripts: DataFrame) -> DataFrame:
 
 def force_detect_hits_from_documents(documents: DataFrame) -> DataFrame:
     """P6 presence scan over assembled documents (exact reference offsets;
-    used by the non-fused path and tests)."""
+    used by the non-fused path and tests). Scans the CLEANED document —
+    the reference (nlp_engine.py:197-214) and the kernel both search
+    post-clean_text text, so offsets agree even when turns contain
+    whitespace runs."""
+    cleaned = F.trim(F.regexp_replace(F.col("doc_text"), r"\s+", " "))
     prods = F.explode(F.array(*[F.lit(p) for p in FORCE_DETECT_PRODUCTS])).alias("product")
-    cand = documents.select("conv_id", F.lower(F.col("doc_text")).alias("_lt")).select(
+    cand = documents.select("conv_id", F.lower(cleaned).alias("_lt")).select(
         "conv_id", "_lt", prods
     )
     return (

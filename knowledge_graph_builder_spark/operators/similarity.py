@@ -127,8 +127,15 @@ def all_pairs_topk(
     band-bucket join bounds the pair fan-out (vs the quadratic cross
     join), which is the whole game at corpus scale."""
     vec = F.col(vec_col).cast("array<double>")
-    dim_probe = embeddings.select(F.size(vec).alias("d")).limit(1)
-    dim = dim_probe.collect()[0]["d"]
+    probe = embeddings.select(F.size(vec).alias("d")).limit(1).collect()
+    if not probe:  # empty corpus -> empty result with the right shape
+        return embeddings.select(
+            F.col(id_col).alias("a"),
+            F.col(id_col).alias("b"),
+            F.lit(0.0).alias("cosine"),
+            F.lit(0).alias("rank"),
+        ).limit(0)
+    dim = probe[0]["d"]
     signed = embeddings.select(
         F.col(id_col).alias("vec_id"), vec.alias("v"), signature_col(vec, dim, bits).alias("sig")
     )

@@ -68,10 +68,11 @@ class Checkpointer:
     stages without manifest rows; completed stages load from disk.
     """
 
-    def __init__(self, root: str | None, run_id: str, spark: SparkSession):
+    def __init__(self, root: str | None, run_id: str, spark: SparkSession, fingerprint: str = ""):
         self.root = root
         self.run_id = run_id
         self.spark = spark
+        self.fingerprint = fingerprint
         self.lineage: list[dict] = []
         self._manifest: dict[str, dict] = {}
         if root:
@@ -81,7 +82,15 @@ class Checkpointer:
                 with open(mpath) as fh:
                     for line in fh:
                         row = json.loads(line)
-                        if row.get("run_id") == run_id and row.get("status") == "ok":
+                        # a stage is reusable only for the SAME run id AND
+                        # the same input fingerprint — re-running over
+                        # different input with a stale checkpoint dir must
+                        # recompute, not silently return old data
+                        if (
+                            row.get("run_id") == run_id
+                            and row.get("status") == "ok"
+                            and row.get("fingerprint", "") == fingerprint
+                        ):
                             self._manifest[row["stage"]] = row
 
     def _manifest_path(self) -> str:
@@ -117,6 +126,7 @@ class Checkpointer:
         row = {
             "run_id": self.run_id,
             "stage": name,
+            "fingerprint": self.fingerprint,
             "output_rows": sum(r["count"] for r in per_part),
             "n_partitions": len(per_part),
             "partition_rows": {r["file"]: r["count"] for r in per_part},
@@ -161,7 +171,18 @@ def run_pipeline(
     held so branches don't re-run the kernel. With a checkpoint_dir the
     parquet stage IS the materialization.
     """
-    ckpt = Checkpointer(checkpoint_dir, run_id, spark)
+    # input fingerprint for resume safety: the logical plan string names
+    # the concrete sources (paths/tables), so pointing the same run_id at
+    # different input invalidates every cached stage
+    import hashlib
+
+    fp = hashlib.md5(
+        (
+            transcripts._jdf.queryExecution().logical().toString()
+            + f"|fused={fused}|parts={kernel_partitions}"
+        ).encode()
+    ).hexdigest()[:16]
+    ckpt = Checkpointer(checkpoint_dir, run_id, spark, fingerprint=fp)
 
     def _hold(df: DataFrame) -> DataFrame:
         if persist and not checkpoint_dir:

@@ -36,7 +36,7 @@ class GraphStore:
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
-    def _read(self, table: str, like: DataFrame | None = None) -> DataFrame | None:
+    def _read(self, table: str) -> DataFrame | None:
         p = self._path(table)
         if os.path.exists(os.path.join(p, "_SUCCESS")):
             return self.spark.read.parquet(p)

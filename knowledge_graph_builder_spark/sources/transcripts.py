@@ -29,8 +29,13 @@ def read_transcripts(spark: SparkSession, source: str, fmt: str | None = None) -
     if fmt is None and "/" not in source and "." in source:
         try:
             return spark.read.format("iceberg").load(source)
-        except Exception:
-            pass  # no Iceberg runtime in this environment — parquet fallback
+        except Exception as exc:
+            # fall back ONLY when the Iceberg data source itself is
+            # absent; real table errors (permissions, corrupt metadata)
+            # must surface, not turn into a confusing parquet-path error
+            msg = str(exc)
+            if "DATA_SOURCE_NOT_FOUND" not in msg and "Failed to find" not in msg:
+                raise
     if fmt is None and source.rstrip("/").endswith((".jsonl", ".json")):
         fmt = "json"
     if fmt is None and source.rstrip("/").endswith(".csv"):

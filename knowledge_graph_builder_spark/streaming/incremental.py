@@ -54,12 +54,17 @@ def stream_kg_foreachbatch(
     stream = read_transcript_stream(spark, input_path)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        res = run_pipeline(spark, batch_df, persist=False)
-        # per-batch subdirectories make retries idempotent (overwrite of
-        # the same batch id rewrites, never duplicates)
-        res.triples.write.mode("overwrite").parquet(f"{output_dir}/triples/batch={batch_id}")
-        res.entities.write.mode("overwrite").parquet(f"{output_dir}/entities/batch={batch_id}")
-        res.events.write.mode("overwrite").parquet(f"{output_dir}/events/batch={batch_id}")
+        # persist holds the kernel output: three table writes otherwise
+        # re-run the extraction (the dominant cost) once each
+        res = run_pipeline(spark, batch_df, persist=True)
+        try:
+            # per-batch subdirectories make retries idempotent (overwrite
+            # of the same batch id rewrites, never duplicates)
+            res.triples.write.mode("overwrite").parquet(f"{output_dir}/triples/batch={batch_id}")
+            res.entities.write.mode("overwrite").parquet(f"{output_dir}/entities/batch={batch_id}")
+            res.events.write.mode("overwrite").parquet(f"{output_dir}/events/batch={batch_id}")
+        finally:
+            res.kernel_rows.unpersist()
 
     writer = stream.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
     if available_now:

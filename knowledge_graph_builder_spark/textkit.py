@@ -234,8 +234,8 @@ for _p in GAZETTEER:
     _GAZ_FIRST_WORDS.add(_w0.rstrip("."))
 
 # Corporate-suffix tokens absorbed into a preceding ORG/GPE gazetteer match
-# so "Apple Inc." is one span, like a spaCy ORG ent. Keys are the dotless
-# cores; value True means a directly attached '.' is kept in the span text.
+# so "Apple Inc." is one span, like a spaCy ORG ent. Entries are the
+# dotless token cores; a directly attached '.' is kept in the span text.
 _CORP_SUFFIX_TOKENS = {"inc", "corp", "corporation", "llc", "ltd", "limited", "co"}
 
 # Products the NER deliberately misses so the force-detect operator
@@ -271,8 +271,11 @@ _DATE_PHRASES = [
 _MONTHS = (
     "January|February|March|April|May|June|July|August|September|October|November|December"
 )
+# NB: the bare-month alternative needs its own trailing \b — without it
+# any token STARTING with a month name ("Mayor", "Juneau", "Marching")
+# becomes a DATE mention and suppresses entity detection on that token.
 _DATE_RE = re.compile(
-    rf"(?:(?:{_MONTHS})\s\d{{1,2}}(?:,\s\d{{4}})?)|(?:(?:{_MONTHS})\s\d{{4}})|(?:{_MONTHS})|(?:\b(?:19|20)\d{{2}}\b)"
+    rf"(?:(?:{_MONTHS})\s\d{{1,2}}(?:,\s\d{{4}})?)|(?:(?:{_MONTHS})\s\d{{4}})|(?:(?:{_MONTHS})\b)|(?:\b(?:19|20)\d{{2}}\b)"
 )
 _DATE_FIRST_WORDS = {p.split()[0] for p in _DATE_PHRASES}
 _ORDINAL_RE = re.compile(
@@ -417,7 +420,7 @@ def detect_mentions(
             continue
 
         m = _ORDINAL_RE.match(sentence, cs)
-        if m and m.group(0) == core[: len(m.group(0))]:
+        if m:
             mentions.append(Mention(m.group(0), "ORDINAL", sent_start + cs, sent_start + m.end()))
             i = _advance(tokens, i, m.end())
             continue

@@ -65,3 +65,16 @@ def test_new_run_id_recomputes_everything(spark, tmp_path):
     run_pipeline(spark, tr, checkpoint_dir=ckpt, run_id="r1")
     r2 = run_pipeline(spark, tr, checkpoint_dir=ckpt, run_id="r2")
     assert all(not row.get("resumed") for row in r2.lineage)
+
+
+def test_different_input_same_run_id_recomputes(spark, tmp_path):
+    """Resume safety: the same run_id pointed at DIFFERENT input must not
+    silently return the previous run's cached stages."""
+    ckpt = str(tmp_path / "ckpt4")
+    a = golden_transcripts(spark).filter("conv_id <= 'g5'")
+    b = golden_transcripts(spark)  # superset — different source plan
+    r1 = run_pipeline(spark, a, checkpoint_dir=ckpt, run_id="r1")
+    n1 = len(_triples(r1))
+    r2 = run_pipeline(spark, b, checkpoint_dir=ckpt, run_id="r1")
+    assert all(not row.get("resumed") for row in r2.lineage)
+    assert len(_triples(r2)) > n1
