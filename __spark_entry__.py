@@ -397,6 +397,103 @@ def _q_quality_flags(spark, sf_dir):
     )
 
 
+def _q_anti_join(spark, sf_dir):
+    # V2-negative analog: endpoints with no referencing row (left anti join
+    # = the dangling-edge silent drop inverted, graph_db.py:121-145)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return (
+        c.join(o, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_idle_customers"))
+    )
+
+
+def _q_moving_avg(spark, sf_dir):
+    # framed window aggregate: 3-order moving average per customer
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    # average over exact integer cents, rounded at 4dp: frame averages are
+    # halves/thirds of a cent, so no value sits on a 4dp rounding tie
+    # (a raw double avg rounded to 2dp can straddle a half-cent tie where
+    # Spark HALF_UP and DuckDB disagree)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg(cents).over(w) / 100.0, 4).alias("mavg3"),
+    )
+
+
+def _q_event_gaps(spark, sf_dir):
+    # lead/lag: per-user inter-event gap statistics (turn-delta analog)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.unix_timestamp(F.col("ts"))
+    gap = secs - F.lag(secs).over(w)
+    return (
+        ev.withColumn("gap_s", gap)
+        .filter(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+    )
+
+
+def _q_cube(spark, sf_dir):
+    # grouping-sets family: CUBE over (returnflag, linestatus)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def _q_ntile(spark, sf_dir):
+    # global quartiles via ntile. NOTE: a partition-less window is a global
+    # sort on one reducer — fine for a quartile summary over orders; at
+    # 100 TB you'd switch to approx_percentile bands instead.
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+def _q_corr_stats(spark, sf_dir):
+    # statistical aggregates: correlation / sample stddev / sample covar
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qty_disc"),
+    )
+
+
+def _q_month_rollup(spark, sf_dir):
+    # temporal rollup: events per calendar month + distinct users
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 # --- rows-only queries (no SQL oracle: kernel/iterative/LSH internals) ---
 
 
@@ -583,6 +680,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "lang_markers": _q_lang_markers,
         "ann_topk": _q_ann_topk,
+        "anti_join": _q_anti_join,
+        "moving_avg": _q_moving_avg,
+        "event_gaps": _q_event_gaps,
+        "cube_agg": _q_cube,
+        "ntile_quartiles": _q_ntile,
+        "corr_stats": _q_corr_stats,
+        "month_rollup": _q_month_rollup,
+        "doc_quality": _q_doc_quality,
         # rows-only (no SQL-expressible oracle):
         "kg_triples": _q_kg_triples,
         "kg_events": _q_kg_events,
@@ -590,7 +695,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_bands": _q_simhash,
         "knn_allpairs": _q_knn_allpairs,
         "canonicalize": _q_canonicalize,
-        "doc_quality": _q_doc_quality,
         "viz_graph": _q_viz_graph,
         "viz_nodes": _q_viz_nodes,
         "pdf_ingest": _q_pdf_ingest,
@@ -613,8 +717,117 @@ def _stopword_hits_sql() -> str:
     return " + ".join(terms)
 
 
+def _marker_hits_sql(lang: str, padcol: str) -> str:
+    """Occurrence-count expression over textstats.LANG_MARKERS[lang],
+    built programmatically so Spark and DuckDB share one marker list."""
+    from knowledge_graph_builder_spark.operators.textstats import LANG_MARKERS
+
+    terms = [
+        f"((length({padcol}) - length(replace({padcol}, '{m}', ''))) / {len(m)})::INT"
+        for m in LANG_MARKERS[lang]
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _doc_quality_sql() -> str:
+    langs = ["en", "de", "fr", "es"]
+    hit_cols = ", ".join(f"{_marker_hits_sql(lang, 'langpad')} AS {lang}_h" for lang in langs)
+    best = "greatest(" + ", ".join(f"{lang}_h" for lang in langs) + ")"
+    lang_case = (
+        "CASE "
+        + " ".join(f"WHEN {lang}_h = {best} AND {lang}_h > 0 THEN '{lang}'" for lang in langs)
+        + " ELSE 'und' END"
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 ' ' || lower(text) || ' ' AS langpad,
+                 ' ' || lower(regexp_replace(text, '[^\\w\\s]', '', 'g')) || ' ' AS pad,
+                 (CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END)::INT AS n_tokens,
+                 array_length(regexp_extract_all(text, '[A-Za-z]+|\\d|[^A-Za-z\\d\\s]'))::INT AS n_bpe_tokens,
+                 array_length(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+                     / greatest(length(text), 1) AS punct_ratio,
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+          FROM documents
+        ),
+        hits AS (
+          SELECT *, {hit_cols},
+                 ({_stopword_hits_sql()})::DOUBLE / greatest(n_tokens, 1) AS stopword_ratio
+          FROM base
+        )
+        SELECT doc_id,
+               {lang_case} AS lang_guess,
+               n_tokens, n_bpe_tokens,
+               round(punct_ratio, 4) AS punct_ratio,
+               round(stopword_ratio, 4) AS stopword_ratio,
+               round(CASE WHEN n_tokens BETWEEN 5 AND 10000 THEN 0.4 ELSE 0.0 END
+                   + CASE WHEN punct_ratio <= 0.2 THEN 0.3
+                          WHEN punct_ratio <= 0.4 THEN 0.15 ELSE 0.0 END
+                   + CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END, 2)::DOUBLE AS quality,
+               fingerprint
+        FROM hits
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "anti_join": """
+            SELECT c_nationkey, count(*) AS n_idle_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_nationkey
+        """,
+        "moving_avg": """
+            SELECT o_custkey, o_orderkey,
+                   round(avg(round(o_totalprice * 100)::BIGINT) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0, 4) AS mavg3
+            FROM orders WHERE o_custkey < 300
+        """,
+        "event_gaps": """
+            WITH lagged AS (
+              SELECT user_id,
+                     floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+              FROM events
+            )
+            SELECT user_id, count(*) AS n_gaps,
+                   round(avg(gap_s), 2) AS avg_gap_s,
+                   max(gap_s) AS max_gap_s
+            FROM lagged WHERE gap_s IS NOT NULL GROUP BY user_id
+        """,
+        "cube_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "ntile_quartiles": """
+            SELECT quartile, count(*) AS n,
+                   round(min(o_totalprice), 2) AS min_price,
+                   round(max(o_totalprice), 2) AS max_price
+            FROM (
+              SELECT o_totalprice,
+                     (ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey))::INT AS quartile
+              FROM orders
+            )
+            GROUP BY quartile
+        """,
+        "corr_stats": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+                   round(stddev_samp(l_quantity), 4) AS sd_qty,
+                   round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "month_rollup": """
+            SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "doc_quality": _doc_quality_sql(),
         "percentiles": """
             SELECT l_returnflag,
                    round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,

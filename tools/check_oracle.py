@@ -35,7 +35,7 @@ def canon(rows, cols):
     return out
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: list[str] | None = None):
     import __spark_entry__ as entrymod
     from knowledge_graph_builder_spark.session import get_spark
 
@@ -45,6 +45,8 @@ def main(sf_dir: str):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = []
     for name, fn in qs.items():
         try:
@@ -88,4 +90,9 @@ def main(sf_dir: str):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            sys.argv[2:] or None,
+        )
+    )
