@@ -397,6 +397,18 @@ def _q_quality_flags(spark, sf_dir):
     )
 
 
+def _q_ivf_topk(spark, sf_dir):
+    # IVF ANN, probing every cell: by construction identical to exact
+    # brute-force top-k, so the approximate scale path is oracle-checked
+    from knowledge_graph_builder_spark.operators.similarity import ivf_topk, ivf_train
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 2).collect()[0]["embedding"]]
+    cents = ivf_train(e, k_clusters=8, iters=2)
+    top = ivf_topk(e, qvec, cents, k=10, n_probe=8)
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def _q_anti_join(spark, sf_dir):
     # V2-negative analog: endpoints with no referencing row (left anti join
     # = the dangling-edge silent drop inverted, graph_db.py:121-145)
@@ -680,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "lang_markers": _q_lang_markers,
         "ann_topk": _q_ann_topk,
+        "ivf_topk": _q_ivf_topk,
         "anti_join": _q_anti_join,
         "moving_avg": _q_moving_avg,
         "event_gaps": _q_event_gaps,
@@ -828,6 +841,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "doc_quality": _doc_quality_sql(),
+        "ivf_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 2)
+            SELECT vec_id,
+                   round(
+                     list_dot_product(embedding::DOUBLE[], (SELECT qe FROM q))
+                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * (SELECT sqrt(list_dot_product(qe, qe)) FROM q)),
+                     4) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
         "percentiles": """
             SELECT l_returnflag,
                    round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,

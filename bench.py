@@ -190,6 +190,9 @@ def main() -> None:
             ),
         ).alias("name")
     )
+    # same warm-up policy as the pipeline: the CC loop's generated code
+    # compiles on first use — run a tiny corpus untimed first
+    canonicalize_nodes(alias_names.limit(300)).select("canonical_id").distinct().count()
     n_components = timed(
         "canonicalize",
         lambda: canonicalize_nodes(alias_names).select("canonical_id").distinct().count(),

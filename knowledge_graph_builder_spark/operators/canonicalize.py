@@ -44,8 +44,10 @@ def blocking_keys(names: DataFrame, name_col: str = "name") -> DataFrame:
     base = names.select(F.col(name_col).alias("name")).distinct()
     canon = _canonical_name(F.col("name"))
 
+    # array_distinct before explode: keys must be unique per (name, key)
+    # so downstream block-size counts need no extra distinct shuffle
     tokens = base.select(
-        "name", F.explode(F.split(canon, r"[^a-z0-9]+")).alias("tok")
+        "name", F.explode(F.array_distinct(F.split(canon, r"[^a-z0-9]+"))).alias("tok")
     ).filter(F.length("tok") >= 2).select(
         "name", F.concat(F.lit("tok:"), F.col("tok")).alias("block_key")
     )
@@ -86,13 +88,23 @@ def candidate_pairs(
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
     """(a, b) verified alias-candidate pairs, a < b lexicographically."""
-    keys = blocking_keys(names, name_col)
-    sized = keys.groupBy("block_key").agg(F.collect_set("name").alias("members"))
-    bounded = sized.filter((F.size("members") >= 2) & (F.size("members") <= max_block))
+    # Size-filter FIRST with a partial-aggregable count (hot stop-token
+    # blocks never materialize a member list the way a collect_set would),
+    # then self-join within surviving blocks — fan-out bounded by
+    # max_block, co-partitioned on block_key so the pair join is local.
+    keys = blocking_keys(names, name_col).persist()
+    ok_blocks = (
+        keys.groupBy("block_key")
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_block))
+        .select("block_key")
+    )
+    bounded = keys.join(ok_blocks, "block_key")
     pairs = (
-        bounded.select(F.explode("members").alias("a"), F.col("members"))
-        .select("a", F.explode("members").alias("b"))
+        bounded.select("block_key", F.col("name").alias("a"))
+        .join(bounded.select("block_key", F.col("name").alias("b")), "block_key")
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
         .distinct()
     )
 
@@ -112,16 +124,26 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     """edges(a, b) -> (name, component) via alternating large-star /
     small-star until fixpoint. Components are identified by their
     lexicographically smallest member."""
-    # initial neighbor list includes self-loops so singletons survive
+    # initial neighbor list includes self-loops so singletons survive.
+    # one explode pass instead of a 4-way union keeps the input stage at
+    # the source partition count; no upfront distinct — duplicate edges
+    # are harmless to the min() aggregates and the first iteration's
+    # end-of-round distinct collapses them.
     e = (
-        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .union(edges.select(F.col("a").alias("u"), F.col("a").alias("v")))
-        .union(edges.select(F.col("b").alias("u"), F.col("b").alias("v")))
-        .distinct()
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+                    F.struct(F.col("a").alias("u"), F.col("a").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("b").alias("v")),
+                )
+            ).alias("uv")
+        )
+        .select("uv.u", "uv.v")
         .localCheckpoint()
     )
-    prev_count = -1
+    prev_sig = None
     for _ in range(max_iterations):
         # large-star: connect every neighbor >= u to min(neighborhood)
         nbr_min = e.groupBy("u").agg(F.min("v").alias("m"))
@@ -131,9 +153,13 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
         keep_small = e.filter(F.col("v") < F.col("u"))
+        # no dedup here: duplicate edges change neither min() below nor
+        # the small-star output set, and the end-of-iteration distinct
+        # collapses them — one shuffle saved per iteration. persist()
+        # because the small-star step reads new_e twice.
         new_e = large.union(keep_small).union(
             nbr_min.select(F.col("u"), F.col("m").alias("v"))
-        ).distinct()
+        ).persist()
 
         # small-star: point all smaller neighbors at the minimum.
         # ONE lineage-cutting checkpoint per iteration (covers both star
@@ -147,16 +173,21 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
             .distinct()
             .localCheckpoint()
         )
-        # converged when every u maps to a single stable minimum. The
-        # exact set-difference runs only when the cheap count-compare says
-        # the iteration COULD have converged — early (shrinking)
-        # iterations skip the exceptAll job entirely.
-        n = small.count()
-        if n == prev_count and small.exceptAll(e).limit(1).count() == 0:
-            e = small
-            break
-        prev_count = n
+        # converged when the edge set is stable across an iteration.
+        # (count, sum-of-hash) is an order-insensitive signature of the
+        # deduped set — one aggregate job per iteration instead of a
+        # count plus an exceptAll set-difference.
+        row = small.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: ANSI mode would raise on long overflow
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        new_e.unpersist()
         e = small
+        if sig == prev_sig:
+            break
+        prev_sig = sig
     comp = e.groupBy("u").agg(F.min("v").alias("component"))
     return comp.select(F.col("u").alias("name"), "component")
 

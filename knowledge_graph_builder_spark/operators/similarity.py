@@ -11,8 +11,16 @@ Two paths:
   bands), then exact cosine re-ranks within buckets. Hyperplanes are
   generated from a seeded hash — no driver-side randomness, no UDF.
 
-An IVF variant would k-means the corpus; at 100 TB the hyperplane LSH is
-preferred because it needs no training pass and its buckets shard evenly.
+* IVF (inverted-file) — the trained scale path: a short deterministic
+  Lloyd loop builds k centroids (per-iteration centroid collect +
+  broadcast, the MLlib k-means pattern); queries probe only the n_probe
+  nearest cells and rerank exactly inside them. Probing every cell is
+  by construction identical to brute force (pinned by test + oracle).
+
+At 100 TB: hyperplane LSH needs no training pass and its buckets shard
+evenly; IVF scans fewer candidates per query once trained and its
+assignment column doubles as a clustering of the corpus. Both are
+provided; both rerank with exact JVM-side cosine.
 """
 
 from __future__ import annotations
@@ -109,6 +117,111 @@ def lsh_topk(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         candidates.select("vec_id", cosine_col(F.col("v"), q).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def _nearest_centroid_col(vec, centroids: list[list[float]]):
+    """Index of the closest centroid (squared L2) as a column expression.
+    Centroids ride along as array literals — broadcast by the closure, no
+    join, evaluated inside codegen."""
+    best_idx = F.lit(0)
+    best_dist = None
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        if best_dist is None:
+            best_dist = d
+        else:
+            best_idx = F.when(d < best_dist, F.lit(i)).otherwise(best_idx)
+            best_dist = F.least(d, best_dist)
+    return best_idx
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    k_clusters: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd loop: seed centroids are the k lowest-id
+    vectors' values (reproducible, no RNG); each iteration assigns every
+    vector to its nearest centroid JVM-side and recomputes means via a
+    posexplode + partial-aggregable avg. Per-iteration driver traffic is
+    k*dim doubles — the broadcast-centroids pattern that scales to any
+    corpus size (the corpus is never collected)."""
+    vec = F.col(vec_col).cast("array<double>")
+    seeds = (
+        embeddings.select(F.col(id_col).alias("i"), vec.alias("v"))
+        .orderBy("i")
+        .limit(k_clusters)
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in seeds]
+    for _ in range(iters):
+        assigned = embeddings.select(
+            _nearest_centroid_col(vec, centroids).alias("cluster"), vec.alias("v")
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        new_centroids = list(centroids)  # empty cells keep their previous centroid
+        for r in means:
+            new_centroids[r["cluster"]] = list(r["centroid"])
+        centroids = new_centroids
+    return centroids
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster, v) — the inverted file. Persisted/partitioned by
+    cluster in a real deployment so probes prune partitions."""
+    vec = F.col(vec_col).cast("array<double>")
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _nearest_centroid_col(vec, centroids).alias("cluster"),
+        vec.alias("v"),
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: rank cells by driver-side distance to the query,
+    scan only the n_probe nearest cells, exact cosine rerank inside them.
+    n_probe == len(centroids) degenerates to exact brute force."""
+    d2 = [
+        (sum((x - y) ** 2 for x, y in zip(query_vec, c)), i)
+        for i, c in enumerate(centroids)
+    ]
+    probes = [i for _, i in sorted(d2)[: max(1, n_probe)]]
+    inv = ivf_assign(embeddings, centroids, id_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        inv.filter(F.col("cluster").isin(probes))
+        .select("vec_id", cosine_col(F.col("v"), q).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )

@@ -77,6 +77,35 @@ def test_lsh_topk_contains_exact_neighbors(spark, sf_dir="/root/testdata/sf0.001
     assert len(set(exact) & set(approx)) >= 3
 
 
+def test_ivf_probe_all_equals_brute_force(spark, sf_dir="/root/testdata/sf0.001"):
+    from knowledge_graph_builder_spark.operators.similarity import ivf_topk, ivf_train
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 1).collect()[0]["embedding"]]
+    cents = ivf_train(e, k_clusters=8, iters=2)
+    assert len(cents) == 8
+    exact = [(r.vec_id, round(r.cosine, 6)) for r in brute_force_topk(e, q, k=10).collect()]
+    probe_all = [
+        (r.vec_id, round(r.cosine, 6))
+        for r in ivf_topk(e, q, cents, k=10, n_probe=8).collect()
+    ]
+    # probing every cell must be EXACTLY brute force
+    assert probe_all == exact
+
+
+def test_ivf_narrow_probe_recall(spark, sf_dir="/root/testdata/sf0.001"):
+    from knowledge_graph_builder_spark.operators.similarity import ivf_topk, ivf_train
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 1).collect()[0]["embedding"]]
+    cents = ivf_train(e, k_clusters=8, iters=2)
+    exact = [r.vec_id for r in brute_force_topk(e, q, k=5).collect()]
+    approx = [r.vec_id for r in ivf_topk(e, q, cents, k=5, n_probe=3).collect()]
+    # the query's own cell is always probed, so the query itself ranks first
+    assert approx and approx[0] == exact[0] == 1
+    assert len(set(exact) & set(approx)) >= 2
+
+
 def test_asof_join_hand_case(spark):
     orders = spark.createDataFrame(
         [(1, _ts(10), "o-a"), (1, _ts(20), "o-b"), (2, _ts(5), "o-c")],
