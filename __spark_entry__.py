@@ -524,6 +524,14 @@ def _q_kg_events(spark, sf_dir):
     return res.events.withColumn("participants", F.array_join("participants", "|"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    # near-dup clusters with one canonical survivor per cluster
+    from knowledge_graph_builder_spark.operators.dedup import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_clusters(d, threshold=0.5).select("doc_id", "cluster_id", "is_canonical")
+
+
 def _q_minhash_neardup(spark, sf_dir):
     from knowledge_graph_builder_spark.operators.dedup import minhash_near_duplicates
 
@@ -705,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": _q_kg_triples,
         "kg_events": _q_kg_events,
         "minhash_neardup": _q_minhash_neardup,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_bands": _q_simhash,
         "knn_allpairs": _q_knn_allpairs,
         "canonicalize": _q_canonicalize,

@@ -204,3 +204,33 @@ def simhash_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
         .select("a", "b", "simhash_a", "simhash_b")
         .distinct()
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup pairs -> duplicate CLUSTERS with one canonical doc each —
+    the operation a training-data pipeline actually runs (keep one copy
+    per near-dup group, drop the rest). Transitive closure over the
+    verified MinHash pair graph via the same large-star/small-star
+    connected-components loop canonicalization uses; cluster_id = the
+    minimum member id, is_canonical marks the survivor.
+
+    Returns docs + (cluster_id, is_canonical); filter is_canonical to
+    materialize the deduplicated corpus.
+    """
+    from .canonicalize import connected_components
+
+    pairs = minhash_near_duplicates(docs, id_col, text_col, k=k, threshold=threshold)
+    comp = connected_components(pairs.select("a", "b")).select(
+        F.col("name").alias(id_col), F.col("component").alias("cluster_id")
+    )
+    return (
+        docs.join(comp, id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )

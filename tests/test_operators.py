@@ -77,6 +77,27 @@ def test_lsh_topk_contains_exact_neighbors(spark, sf_dir="/root/testdata/sf0.001
     assert len(set(exact) & set(approx)) >= 3
 
 
+def test_dedup_clusters_canonical_survivor(spark):
+    from knowledge_graph_builder_spark.operators.dedup import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " indeed"),          # near-dup of 1
+            (3, base),                      # exact dup of 1
+            (4, "completely different text about spark shuffle partition sizing and skew"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in dedup_clusters(docs, threshold=0.5).collect()}
+    # 1,2,3 collapse into one cluster whose canonical is the min id
+    assert out[1].cluster_id == out[2].cluster_id == out[3].cluster_id == 1
+    assert out[1].is_canonical and not out[2].is_canonical and not out[3].is_canonical
+    # the unique doc is its own (canonical) cluster
+    assert out[4].cluster_id == 4 and out[4].is_canonical
+
+
 def test_ivf_probe_all_equals_brute_force(spark, sf_dir="/root/testdata/sf0.001"):
     from knowledge_graph_builder_spark.operators.similarity import ivf_topk, ivf_train
 
