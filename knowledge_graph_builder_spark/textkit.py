@@ -278,6 +278,11 @@ _DATE_RE = re.compile(
     rf"(?:(?:{_MONTHS})\s\d{{1,2}}(?:,\s\d{{4}})?)|(?:(?:{_MONTHS})\s\d{{4}})|(?:(?:{_MONTHS})\b)|(?:\b(?:19|20)\d{{2}}\b)"
 )
 _DATE_FIRST_WORDS = {p.split()[0] for p in _DATE_PHRASES}
+# cheap exact preconditions for the metadata regexes: a match at a token
+# start is impossible unless the first char(s) qualify, so ordinary word
+# tokens skip every regex attempt (the kernel's hottest loop)
+_DATE_FIRST_CHARS = frozenset("JFMASOND0123456789")  # month initial or year digit
+_ORDINAL_PREFIXES = frozenset({"fi", "se", "th", "fo", "si", "ei", "ni", "te"})
 _ORDINAL_RE = re.compile(
     r"\b(?:first|second|third|fourth|fifth|sixth|seventh|eighth|ninth|tenth|\d+(?:st|nd|rd|th))\b",
     re.IGNORECASE,
@@ -305,6 +310,9 @@ def _tokenize(sentence: str) -> list[tuple[str, int, int]]:
 
 def _strip_punct(tok: str) -> tuple[str, int, int]:
     """Strip leading/trailing punctuation; return (core, lead, trail) widths."""
+    # fast path: the overwhelmingly common token has no edge punctuation
+    if tok and tok[0] not in "\"'([{" and tok[-1] not in ",.;:!?\"')]}":
+        return tok, 0, 0
     lead = 0
     trail = 0
     while lead < len(tok) and tok[lead] in "\"'([{":
@@ -339,6 +347,7 @@ def detect_mentions(
             i += 1
             continue
         cs, ce = ts + lead, te - trail
+        core_lower = core.lower()
 
         # 1) gazetteer longest match (case-insensitive, over core tokens).
         # A trailing '.' attached to the last token is tried first so
@@ -347,7 +356,7 @@ def detect_mentions(
         # single set lookup instead of a span loop.
         matched = False
         for span in range(
-            min(_MAX_GAZ_WORDS, len(tokens) - i) if core.lower() in _GAZ_FIRST_WORDS else 0, 0, -1
+            min(_MAX_GAZ_WORDS, len(tokens) - i) if core_lower in _GAZ_FIRST_WORDS else 0, 0, -1
         ):
             lt, lts, lte = tokens[i + span - 1]
             lcore, llead, ltrail = _strip_punct(lt)
@@ -388,20 +397,26 @@ def detect_mentions(
 
         # position-anchored matches (no per-token sentence slicing; the
         # char before cs is always whitespace or leading punctuation, so
-        # \b semantics are unchanged vs matching a slice)
-        m = _MONEY_RE.match(sentence, cs)
-        if m:
-            mentions.append(Mention(m.group(0), "MONEY", sent_start + cs, sent_start + m.end()))
-            i = _advance(tokens, i, m.end())
-            continue
+        # \b semantics are unchanged vs matching a slice). Each regex is
+        # gated on its exact first-char precondition so plain word tokens
+        # attempt no regex at all.
+        c0 = core[0]
+        if c0 == "$":
+            m = _MONEY_RE.match(sentence, cs)
+            if m:
+                mentions.append(Mention(m.group(0), "MONEY", sent_start + cs, sent_start + m.end()))
+                i = _advance(tokens, i, m.end())
+                continue
 
-        m = _PERCENT_RE.match(sentence, cs)
-        if m:
-            mentions.append(Mention(m.group(0), "PERCENT", sent_start + cs, sent_start + m.end()))
-            i = _advance(tokens, i, m.end())
-            continue
+        is_digit0 = c0.isdigit()
+        if is_digit0:
+            m = _PERCENT_RE.match(sentence, cs)
+            if m:
+                mentions.append(Mention(m.group(0), "PERCENT", sent_start + cs, sent_start + m.end()))
+                i = _advance(tokens, i, m.end())
+                continue
 
-        if core.lower() in _DATE_FIRST_WORDS:
+        if core_lower in _DATE_FIRST_WORDS:
             phrase_matched = False
             for phrase in _DATE_PHRASES:
                 if lower.startswith(phrase, cs):
@@ -413,23 +428,26 @@ def detect_mentions(
             if phrase_matched:
                 continue
 
-        m = _DATE_RE.match(sentence, cs)
-        if m:
-            mentions.append(Mention(m.group(0), "DATE", sent_start + cs, sent_start + m.end()))
-            i = _advance(tokens, i, m.end())
-            continue
+        if c0 in _DATE_FIRST_CHARS:
+            m = _DATE_RE.match(sentence, cs)
+            if m:
+                mentions.append(Mention(m.group(0), "DATE", sent_start + cs, sent_start + m.end()))
+                i = _advance(tokens, i, m.end())
+                continue
 
-        m = _ORDINAL_RE.match(sentence, cs)
-        if m:
-            mentions.append(Mention(m.group(0), "ORDINAL", sent_start + cs, sent_start + m.end()))
-            i = _advance(tokens, i, m.end())
-            continue
+        if is_digit0 or core_lower[:2] in _ORDINAL_PREFIXES:
+            m = _ORDINAL_RE.match(sentence, cs)
+            if m:
+                mentions.append(Mention(m.group(0), "ORDINAL", sent_start + cs, sent_start + m.end()))
+                i = _advance(tokens, i, m.end())
+                continue
 
-        m = _CARDINAL_RE.match(sentence, cs)
-        if m:
-            mentions.append(Mention(m.group(0), "CARDINAL", sent_start + cs, sent_start + m.end()))
-            i = _advance(tokens, i, m.end())
-            continue
+        if is_digit0:
+            m = _CARDINAL_RE.match(sentence, cs)
+            if m:
+                mentions.append(Mention(m.group(0), "CARDINAL", sent_start + cs, sent_start + m.end()))
+                i = _advance(tokens, i, m.end())
+                continue
 
         # 2) capitalized-run fallback -> ORG. Deliberately blind to the
         # force-detect products; stops before gazetteer words so "Beats"
@@ -437,7 +455,7 @@ def detect_mentions(
         if (
             _CAP_TOKEN_RE.match(core)
             and core not in _STOP_CAPS
-            and core.lower() not in _NER_BLINDSPOTS
+            and core_lower not in _NER_BLINDSPOTS
         ):
             last_end = ce
             j = i
