@@ -453,7 +453,8 @@ def detect_mentions(
         # force-detect products; stops before gazetteer words so "Beats"
         # next to "Apple" stays two spans.
         if (
-            _CAP_TOKEN_RE.match(core)
+            c0.isupper()
+            and _CAP_TOKEN_RE.match(core)
             and core not in _STOP_CAPS
             and core_lower not in _NER_BLINDSPOTS
         ):
