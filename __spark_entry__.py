@@ -510,10 +510,16 @@ def _q_month_rollup(spark, sf_dir):
 
 
 def _q_kg_triples(spark, sf_dir):
+    # flagship extraction on the golden corpus, projected to the P/R key.
+    # Its oracle is the hand-derived GOLDEN_EXPECTED_TRIPLES literal (the
+    # reference semantics' complete output over these texts), so the
+    # value-hash match IS the P/R=1.0 evidence, recorded per round.
     from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
     from knowledge_graph_builder_spark.sources.synth import golden_transcripts
 
-    return run_pipeline(spark, golden_transcripts(spark)).triples
+    return run_pipeline(spark, golden_transcripts(spark)).triples.select(
+        F.col("document_id"), F.col("source"), F.col("type"), F.col("target")
+    )
 
 
 def _q_kg_events(spark, sf_dir):
@@ -709,8 +715,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_stats": _q_corr_stats,
         "month_rollup": _q_month_rollup,
         "doc_quality": _q_doc_quality,
-        # rows-only (no SQL-expressible oracle):
+        # golden-pinned oracle (literal VALUES = reference-semantics output):
         "kg_triples": _q_kg_triples,
+        # rows-only (no SQL-expressible oracle):
         "kg_events": _q_kg_events,
         "minhash_neardup": _q_minhash_neardup,
         "dedup_clusters": _q_dedup_clusters,
@@ -792,8 +799,27 @@ def _doc_quality_sql() -> str:
     """
 
 
+def _kg_triples_sql() -> str:
+    """Literal-VALUES oracle for the flagship extraction: the hand-derived
+    reference-semantics triple set over the golden corpus (the same
+    constant tests/test_metrics.py measures P/R against). A value-hash
+    match against it is an exact P/R = 1.0 record for the flagship
+    pipeline, not just a row count."""
+    from knowledge_graph_builder_spark.sources.synth import GOLDEN_EXPECTED_TRIPLES
+
+    rows = ",\n              ".join(
+        "('{}', '{}', '{}', '{}')".format(*r) for r in sorted(GOLDEN_EXPECTED_TRIPLES)
+    )
+    return f"""
+        SELECT * FROM (VALUES
+              {rows}
+        ) AS t(document_id, source, type, target)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "kg_triples": _kg_triples_sql(),
         "anti_join": """
             SELECT c_nationkey, count(*) AS n_idle_customers
             FROM customer c

@@ -160,3 +160,38 @@ def golden_transcripts(spark: SparkSession, shuffled: bool = True) -> DataFrame:
     if shuffled:
         random.Random(7).shuffle(rows)
     return spark.createDataFrame(rows, schema=TRANSCRIPTS)
+
+
+# Hand-derived complete (document, subj, pred, obj) triple set the
+# reference's rule semantics emit over GOLDEN_TEXTS — the P/R ground
+# truth (BASELINE.json metric). Single source of truth: the P/R test
+# (tests/test_metrics.py) and the driver-contract kg_triples oracle
+# (__spark_entry__.py) both read THIS set, so they cannot drift apart.
+GOLDEN_EXPECTED_TRIPLES: frozenset[tuple[str, str, str, str]] = frozenset({
+    ("g2", "Steve Jobs", "FOUNDED", "Apple"),
+    ("g2", "Apple", "RELEASED", "iPhone"),
+    ("g2", "Tim Cook", "CEO_OF", "Apple"),
+    ("g2", "Microsoft", "COMPETES_WITH", "Apple"),
+    ("g3", "Apple", "ACQUIRED", "Beats"),
+    ("g4", "Google", "RELEASED", "Android"),
+    ("g5", "Tim Cook", "CEO_OF", "Apple"),
+    ("g7", "Jeff Bezos", "FOUNDED", "Amazon"),
+    ("g7", "Amazon", "LOCATED_IN", "Seattle"),
+    ("g8", "Amazon", "PRODUCES", "Kindle"),
+    ("g8", "Amazon", "PRODUCES", "Fire TV"),
+    ("g9", "Amazon", "COMPETES_WITH", "Microsoft"),
+    ("g9", "Amazon", "COMPETES_WITH", "Google"),
+    ("g9", "Amazon", "COMPETES_WITH", "Alibaba"),
+    ("g10", "Steve Jobs", "CEO_OF", "Apple"),
+    ("g10", "Tim Cook", "CEO_OF", "Apple"),
+    ("g13", "Ford Motors", "LOCATED_IN", "Texas"),
+    ("g14", "Apple", "HEADQUARTERED_IN", "Cupertino"),
+    ("g15", "Microsoft", "LOCATED_IN", "Redmond"),
+    ("g15", "Microsoft", "HEADQUARTERED_IN", "Redmond"),
+    ("g16", "Google", "DEVELOPS", "Android"),
+    ("g17", "Tim Cook", "EMPLOYED_BY", "Apple"),
+    ("g18", "Apple", "COLLABORATES_WITH", "Microsoft"),
+    ("g19", "Sony", "PRODUCES", "PlayStation"),
+    ("g20", "Apple", "RELEASED", "iPhone"),
+    ("g20", "Apple", "LOCATED_IN", "Cupertino"),
+})

@@ -12,35 +12,9 @@ from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
 from knowledge_graph_builder_spark.sources.synth import golden_transcripts
 
 # (conv, source, type, target) — reference semantics over the golden corpus
-# (same sets test_golden_e2e.py pins per conversation).
-EXPECTED = {
-    ("g2", "Steve Jobs", "FOUNDED", "Apple"),
-    ("g2", "Apple", "RELEASED", "iPhone"),
-    ("g2", "Tim Cook", "CEO_OF", "Apple"),
-    ("g2", "Microsoft", "COMPETES_WITH", "Apple"),
-    ("g3", "Apple", "ACQUIRED", "Beats"),
-    ("g4", "Google", "RELEASED", "Android"),
-    ("g5", "Tim Cook", "CEO_OF", "Apple"),
-    ("g7", "Jeff Bezos", "FOUNDED", "Amazon"),
-    ("g7", "Amazon", "LOCATED_IN", "Seattle"),
-    ("g8", "Amazon", "PRODUCES", "Kindle"),
-    ("g8", "Amazon", "PRODUCES", "Fire TV"),
-    ("g9", "Amazon", "COMPETES_WITH", "Microsoft"),
-    ("g9", "Amazon", "COMPETES_WITH", "Google"),
-    ("g9", "Amazon", "COMPETES_WITH", "Alibaba"),
-    ("g10", "Steve Jobs", "CEO_OF", "Apple"),
-    ("g10", "Tim Cook", "CEO_OF", "Apple"),
-    ("g13", "Ford Motors", "LOCATED_IN", "Texas"),
-    ("g14", "Apple", "HEADQUARTERED_IN", "Cupertino"),
-    ("g15", "Microsoft", "LOCATED_IN", "Redmond"),
-    ("g15", "Microsoft", "HEADQUARTERED_IN", "Redmond"),
-    ("g16", "Google", "DEVELOPS", "Android"),
-    ("g17", "Tim Cook", "EMPLOYED_BY", "Apple"),
-    ("g18", "Apple", "COLLABORATES_WITH", "Microsoft"),
-    ("g19", "Sony", "PRODUCES", "PlayStation"),
-    ("g20", "Apple", "RELEASED", "iPhone"),
-    ("g20", "Apple", "LOCATED_IN", "Cupertino"),
-}
+# (same sets test_golden_e2e.py pins per conversation). Defined next to the
+# golden corpus itself so the driver-contract oracle shares it.
+from knowledge_graph_builder_spark.sources.synth import GOLDEN_EXPECTED_TRIPLES as EXPECTED
 
 
 def test_triple_precision_recall(spark):
