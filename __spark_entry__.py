@@ -523,11 +523,22 @@ def _q_kg_triples(spark, sf_dir):
 
 
 def _q_kg_events(spark, sf_dir):
+    # golden-pinned like kg_triples: the oracle is the hand-derived
+    # EV1-EV6 event set, so the value-hash match records exact agreement
     from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
     from knowledge_graph_builder_spark.sources.synth import golden_transcripts
 
     res = run_pipeline(spark, golden_transcripts(spark))
-    return res.events.withColumn("participants", F.array_join("participants", "|"))
+    return res.events.select(
+        "document_id",
+        "event_type",
+        "name",
+        F.array_join("participants", "|").alias("participants"),
+        "date",
+        "amount",
+        "location",
+        F.round("confidence", 2).alias("confidence"),
+    )
 
 
 def _q_dedup_clusters(spark, sf_dir):
@@ -715,10 +726,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_stats": _q_corr_stats,
         "month_rollup": _q_month_rollup,
         "doc_quality": _q_doc_quality,
-        # golden-pinned oracle (literal VALUES = reference-semantics output):
+        # golden-pinned oracles (literal VALUES = reference-semantics output):
         "kg_triples": _q_kg_triples,
-        # rows-only (no SQL-expressible oracle):
         "kg_events": _q_kg_events,
+        # rows-only (no SQL-expressible oracle):
         "minhash_neardup": _q_minhash_neardup,
         "dedup_clusters": _q_dedup_clusters,
         "simhash_bands": _q_simhash,
@@ -817,9 +828,31 @@ def _kg_triples_sql() -> str:
     """
 
 
+def _kg_events_sql() -> str:
+    """Literal-VALUES oracle for the golden event set (see _kg_triples_sql)."""
+    from knowledge_graph_builder_spark.sources.synth import GOLDEN_EXPECTED_EVENTS
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return repr(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    rows = ",\n              ".join(
+        "(" + ", ".join(lit(v) for v in r) + ")" for r in sorted(GOLDEN_EXPECTED_EVENTS, key=str)
+    )
+    return f"""
+        SELECT * FROM (VALUES
+              {rows}
+        ) AS t(document_id, event_type, name, participants, date, amount, location, confidence)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples": _kg_triples_sql(),
+        "kg_events": _kg_events_sql(),
         "anti_join": """
             SELECT c_nationkey, count(*) AS n_idle_customers
             FROM customer c

@@ -195,3 +195,18 @@ GOLDEN_EXPECTED_TRIPLES: frozenset[tuple[str, str, str, str]] = frozenset({
     ("g20", "Apple", "RELEASED", "iPhone"),
     ("g20", "Apple", "LOCATED_IN", "Cupertino"),
 })
+
+
+# Hand-derived complete event set (EV1-EV6 semantics) over GOLDEN_TEXTS:
+# (document, event_type, name, participants '|'-joined, date, amount,
+# location, confidence). Shared by tests/test_metrics.py and the
+# kg_events driver-contract oracle.
+GOLDEN_EXPECTED_EVENTS: frozenset[tuple] = frozenset({
+    ("g1", "ProductLaunch", "Apple product launch", "Apple|iPhone", "2007", "$599", None, 0.7),
+    ("g2", "ProductLaunch", "iPhone product launch", "iPhone", "2007", "$599", None, 0.7),
+    ("g3", "Acquisition", "Apple acquires Beats", "Apple|Beats", "2014", "$3 billion", None, 0.7),
+    ("g4", "ProductLaunch", "Google product launch", "Google|Android", "2008", None, None, 0.7),
+    ("g5", "LeadershipChange", "Tim Cook joins Apple", "Tim Cook|Apple", "2011", None, None, 0.7),
+    ("g6", "FundingRound", "Microsoft funding round", "Microsoft", "last year", "$1 billion", None, 0.7),
+    ("g20", "ProductLaunch", "Apple product launch", "Apple|iPhone", None, None, "Cupertino", 0.7),
+})

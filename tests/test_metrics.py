@@ -55,3 +55,18 @@ def test_per_partition_lineage(spark, tmp_path):
         row = by_stage[stage]
         assert row["n_partitions"] >= 1
         assert sum(row["partition_rows"].values()) == row["output_rows"]
+
+
+def test_event_set_matches_reference(spark):
+    """Complete event-set agreement (EV1-EV6) — the event analog of the
+    triple P/R metric, against the same shared golden constant the
+    driver-contract oracle uses."""
+    from knowledge_graph_builder_spark.sources.synth import GOLDEN_EXPECTED_EVENTS
+
+    res = run_pipeline(spark, golden_transcripts(spark))
+    got = {
+        (r.document_id, r.event_type, r.name, "|".join(r.participants),
+         r.date, r.amount, r.location, round(r.confidence, 2))
+        for r in res.events.collect()
+    }
+    assert got == set(GOLDEN_EXPECTED_EVENTS)
