@@ -729,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # golden-pinned oracles (literal VALUES = reference-semantics output):
         "kg_triples": _q_kg_triples,
         "kg_events": _q_kg_events,
+        "pdf_ingest": _q_pdf_ingest,
         # rows-only (no SQL-expressible oracle):
         "minhash_neardup": _q_minhash_neardup,
         "dedup_clusters": _q_dedup_clusters,
@@ -737,7 +738,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize": _q_canonicalize,
         "viz_graph": _q_viz_graph,
         "viz_nodes": _q_viz_nodes,
-        "pdf_ingest": _q_pdf_ingest,
         "entity_linking": _q_entity_linking,
         "media_features": _q_media_features,
         "frame_samples": _q_frame_samples,
@@ -853,6 +853,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples": _kg_triples_sql(),
         "kg_events": _kg_events_sql(),
+        # golden-pinned (hand derivation: "Steve Jobs founded Apple" ->
+        # R1 FOUNDED indicator at 0.95 survives D1 over the SVO duplicate,
+        # PERSON-FOUNDED->COMPANY passes V1/V2)
+        "pdf_ingest": """
+            SELECT * FROM (VALUES ('Steve Jobs', 'FOUNDED', 'Apple'))
+            AS t(source, type, target)
+        """,
         "anti_join": """
             SELECT c_nationkey, count(*) AS n_idle_customers
             FROM customer c
