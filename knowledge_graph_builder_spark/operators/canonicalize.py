@@ -106,7 +106,13 @@ def candidate_pairs(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
+        # eager checkpoint so the keys cache can be released here rather
+        # than leaking for the application lifetime (long-lived sessions
+        # call this per micro-batch); downstream CC re-reads pairs many
+        # times anyway, so materializing them is free in context
+        .localCheckpoint()
     )
+    keys.unpersist()
 
     # NB: split leaves an empty token when the name ends in punctuation
     # ("x inc." -> ["x","inc",""]); removing it matters — the phantom ""

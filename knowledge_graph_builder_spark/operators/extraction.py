@@ -189,7 +189,11 @@ def _make_fused_kernel(emit: frozenset):
         rows: list[tuple] = []
 
         def flush() -> None:
-            text = TURN_SEPARATOR.join(cur_parts)
+            # slice at the RAW joined length so truncation is char-exact
+            # with assemble_conversations' substring(raw, 1, MAX) — the
+            # parity contract between the fused and relational paths holds
+            # even for >MAX-char conversations
+            text = TURN_SEPARATOR.join(cur_parts)[:MAX_TEXT_LENGTH]
             rows.extend(_rows_for_document(cur_conv, text, emit))
 
         for rb in batches:
@@ -201,8 +205,10 @@ def _make_fused_kernel(emit: frozenset):
                         flush()
                     cur_conv, cur_parts, cur_len = conv_id, [], 0
                 if cur_len < MAX_TEXT_LENGTH:  # document guard, applied during assembly
+                    if cur_parts:
+                        cur_len += len(TURN_SEPARATOR)
                     cur_parts.append(text or "")
-                    cur_len += len(text or "") + 1
+                    cur_len += len(text or "")
             if len(rows) >= _EMIT_EVERY:
                 yield from _rows_to_batches(rows)
                 rows = []

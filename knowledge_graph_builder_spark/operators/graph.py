@@ -184,5 +184,6 @@ def viz_edges(edges: DataFrame) -> DataFrame:
 
 def clear_session(df: DataFrame, session_id: str) -> DataFrame:
     """S8 — session clear as a predicate (DELETE WHERE on Iceberg;
-    filtered rewrite on parquet)."""
-    return df.filter(F.col("session_id") != session_id)
+    filtered rewrite on parquet). Null-preserving: rows with no
+    session_id must survive a clear of any named session."""
+    return df.filter(F.col("session_id").isNull() | (F.col("session_id") != session_id))

@@ -176,11 +176,24 @@ def run_pipeline(
     # different input invalidates every cached stage
     import hashlib
 
+    plan_str = transcripts._jdf.queryExecution().logical().toString()
+    mem_fp = ""
+    if checkpoint_dir and ("LogicalRDD" in plan_str or "LocalRelation" in plan_str):
+        # in-memory inputs (createDataFrame) put only schema + session-
+        # local expression ids in the plan string — two different datasets
+        # in two processes can print identically, silently resuming from
+        # the other's checkpoints. Fingerprint the rows themselves (one
+        # cheap aggregate, only when resume is actually in play).
+        from pyspark.sql import functions as F
+
+        row = transcripts.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*transcripts.columns).cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        mem_fp = f"|mem={row['n']}:{row['h']}"
+
     fp = hashlib.md5(
-        (
-            transcripts._jdf.queryExecution().logical().toString()
-            + f"|fused={fused}|parts={kernel_partitions}"
-        ).encode()
+        (plan_str + f"|fused={fused}|parts={kernel_partitions}" + mem_fp).encode()
     ).hexdigest()[:16]
     ckpt = Checkpointer(checkpoint_dir, run_id, spark, fingerprint=fp)
 
@@ -202,7 +215,9 @@ def run_pipeline(
         triples = ckpt.stage("triples", lambda: triples_from_kernel(kernel_rows))
         events = ckpt.stage("events", lambda: events_from_kernel(kernel_rows))
     else:
-        documents = assemble_conversations(transcripts)
+        # held: both the kernel and force-detect read the assembled
+        # documents — without this the full transcripts groupBy runs twice
+        documents = _hold(assemble_conversations(transcripts))
         kernel_rows = _hold(
             ckpt.stage(
                 "kernel_rows", lambda: extract_kernel(documents, kernel_partitions, emit=EMIT_ANALYSIS)
@@ -218,7 +233,10 @@ def run_pipeline(
                 lambda: to_triples(
                     attach_sentence_and_metadata(
                         validate_relationships(
-                            dedup_relationships(candidate_relationships(kernel_rows)), entities
+                            dedup_relationships(
+                                candidate_relationships(kernel_rows, persist=persist)
+                            ),
+                            entities,
                         ),
                         kernel_rows,
                         sent_meta,

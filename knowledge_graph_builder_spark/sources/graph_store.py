@@ -58,7 +58,12 @@ class GraphStore:
         new = new.withColumn("_batch_seq", F.lit(self._next_seq(table)))
         existing = self._read(table)
         merged = existing.unionByName(new) if existing is not None else new
-        w = Window.partitionBy(*key_cols).orderBy(F.col("_batch_seq").desc())
+        # tiebreak beyond _batch_seq: duplicate keys WITHIN one batch share
+        # a seq, and row_number over a tied ordering picks a partition-
+        # dependent winner — a deterministic whole-row hash keeps retries
+        # and replans byte-identical.
+        row_hash = F.xxhash64(*[c for c in merged.columns if c != "_batch_seq"])
+        w = Window.partitionBy(*key_cols).orderBy(F.col("_batch_seq").desc(), row_hash.desc())
         deduped = (
             merged.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
         )
@@ -94,4 +99,7 @@ class GraphStore:
         for table in ("nodes", "edges"):
             df = self._read(table)
             if df is not None:
-                self._swap_in(df.filter(F.col("session_id") != session_id), table)
+                # null-preserving predicate: a plain != would evaluate to
+                # NULL for rows with no session_id and silently delete them
+                keep = F.col("session_id").isNull() | (F.col("session_id") != session_id)
+                self._swap_in(df.filter(keep), table)

@@ -30,6 +30,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.assembly import TURN_SEPARATOR
 from ..operators.extraction import EMIT_GRAPH, _rows_for_document, _KERNEL_COLS
+from ..rules import MAX_TEXT_LENGTH
 from ..plans.pipeline import run_pipeline
 from ..schema import KERNEL_ROWS, TRANSCRIPTS
 
@@ -100,10 +101,16 @@ def make_stateful_update(quiet_ms: int):
         if state.exists:
             old = state.get
             turn_idxs, texts = list(old[0]), list(old[1])
-        for pdf in pdfs:
-            turn_idxs.extend(int(i) for i in pdf["turn_idx"])
-            texts.extend("" if t is None else str(t) for t in pdf["text"])
-        state.update((turn_idxs, texts))
+        # state-size cap: the kernel discards everything past
+        # MAX_TEXT_LENGTH anyway, so a hot conversation that never goes
+        # quiet must not grow keyed state (and state-store I/O) without
+        # bound. Past the cap, arriving turns only refresh the timeout.
+        held = sum(len(t) for t in texts) + len(texts)
+        if held <= MAX_TEXT_LENGTH:
+            for pdf in pdfs:
+                turn_idxs.extend(int(i) for i in pdf["turn_idx"])
+                texts.extend("" if t is None else str(t) for t in pdf["text"])
+            state.update((turn_idxs, texts))
         state.setTimeoutDuration(quiet_ms)
         yield pd.DataFrame(columns=_KERNEL_COLS)
 

@@ -260,10 +260,14 @@ _STOP_CAPS = {
 }
 
 # Metadata regex classes (ordered; first match at a position wins).
+# Every word-ending alternative carries a trailing \b: without it a longer
+# word extending the match ("$5 thousandths", "99 percentile") would be
+# truncated INTO a mention and the rest of the token swallowed by
+# _advance, feeding a bogus amount/percent into R9/EV6 metadata.
 _MONEY_RE = re.compile(
-    r"\$[\d][\d,]*(?:\.\d+)?(?:\s(?:trillion|billion|million|thousand))?"
+    r"\$[\d][\d,]*(?:\.\d+)?(?:\s(?:trillion|billion|million|thousand)\b)?"
 )
-_PERCENT_RE = re.compile(r"\d+(?:\.\d+)?\s?(?:%|percent)")
+_PERCENT_RE = re.compile(r"\d+(?:\.\d+)?\s?(?:%|percent\b)")
 _DATE_PHRASES = [
     "last year", "last month", "last week", "next year", "next month",
     "this year", "this month", "this week", "yesterday", "tomorrow",
@@ -271,11 +275,12 @@ _DATE_PHRASES = [
 _MONTHS = (
     "January|February|March|April|May|June|July|August|September|October|November|December"
 )
-# NB: the bare-month alternative needs its own trailing \b — without it
-# any token STARTING with a month name ("Mayor", "Juneau", "Marching")
-# becomes a DATE mention and suppresses entity detection on that token.
+# NB: every alternative needs its trailing \b — without it any token
+# STARTING with a month name ("Mayor", "Juneau", "Marching") becomes a
+# DATE mention, and a month followed by a longer number ("March 12345")
+# would truncate into a bogus day/year and swallow the number token.
 _DATE_RE = re.compile(
-    rf"(?:(?:{_MONTHS})\s\d{{1,2}}(?:,\s\d{{4}})?)|(?:(?:{_MONTHS})\s\d{{4}})|(?:(?:{_MONTHS})\b)|(?:\b(?:19|20)\d{{2}}\b)"
+    rf"(?:(?:{_MONTHS})\s\d{{1,2}}(?:,\s\d{{4}})?\b)|(?:(?:{_MONTHS})\s\d{{4}}\b)|(?:(?:{_MONTHS})\b)|(?:\b(?:19|20)\d{{2}}\b)"
 )
 _DATE_FIRST_WORDS = {p.split()[0] for p in _DATE_PHRASES}
 # cheap exact preconditions for the metadata regexes: a match at a token
@@ -419,8 +424,12 @@ def detect_mentions(
         if core_lower in _DATE_FIRST_WORDS:
             phrase_matched = False
             for phrase in _DATE_PHRASES:
-                if lower.startswith(phrase, cs):
-                    raw = sentence[cs : cs + len(phrase)]
+                pe_ = cs + len(phrase)
+                # boundary check: "Last yearly" must not match "last year"
+                if lower.startswith(phrase, cs) and (
+                    pe_ >= len(sentence) or not sentence[pe_].isalnum()
+                ):
+                    raw = sentence[cs : pe_]
                     mentions.append(Mention(raw, "DATE", sent_start + cs, sent_start + cs + len(phrase)))
                     i = _advance(tokens, i, cs + len(phrase))
                     phrase_matched = True

@@ -153,3 +153,34 @@ def test_sessionize_hand_case(spark):
     assert sessions[(1, 0)] == 0 and sessions[(1, 100)] == 0
     assert sessions[(1, 4000)] == 1 and sessions[(1, 4100)] == 1
     assert sessions[(2, 0)] == 0
+
+
+def test_graph_store_clear_preserves_null_session(spark, tmp_path):
+    from knowledge_graph_builder_spark.sources.graph_store import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "store"))
+    nodes = spark.createDataFrame(
+        [("Apple", "ORG", "s1"), ("Beats", "ORG", None)],
+        "name string, type string, session_id string",
+    )
+    store.upsert_nodes(nodes)
+    store.clear_session("s1")
+    left = {r.name for r in store.nodes().collect()}
+    # the NULL-session row must survive a clear of any named session
+    assert left == {"Beats"}
+
+
+def test_graph_store_upsert_deterministic_within_batch(spark, tmp_path):
+    from knowledge_graph_builder_spark.sources.graph_store import GraphStore
+
+    dup = [("Apple", "ORG", f"sess-{i}") for i in range(6)]
+    winners = set()
+    for rep in range(2):
+        store = GraphStore(spark, str(tmp_path / f"store{rep}"))
+        batch = spark.createDataFrame(dup, "name string, type string, session_id string")
+        store.upsert_nodes(batch.repartition(4 if rep else 2))
+        rows = store.nodes().collect()
+        assert len(rows) == 1
+        winners.add(rows[0].session_id)
+    # same duplicate batch, different partitioning -> same surviving row
+    assert len(winners) == 1

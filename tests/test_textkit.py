@@ -80,3 +80,24 @@ def test_parse_is_deterministic():
     assert [(i, s.subj, s.verb_lemma, s.obj) for i, s in a.svos] == [
         (i, s.subj, s.verb_lemma, s.obj) for i, s in b.svos
     ]
+
+
+def test_metadata_regex_trailing_boundaries():
+    """A longer word extending a metadata pattern must not be truncated
+    into a mention that swallows the rest of the token (review findings:
+    'March 12345', 'Last yearly', '99 percentile', '$5 thousandths')."""
+    def labels(s):
+        return [(m.text, m.label) for m in tk.detect_mentions(s, 0)]
+
+    assert ("March", "DATE") in labels("March 12345 units were sold.")
+    assert ("12345", "CARDINAL") in labels("March 12345 units were sold.")
+    assert all(l != "DATE" for _, l in labels("Last yearly revenue grew at Apple."))
+    assert all(l != "PERCENT" for _, l in labels("He scored in the 99 percentile at Apple."))
+    money = [t for t, l in labels("It cost $5 thousandths of the budget.") if l == "MONEY"]
+    assert money == ["$5"]
+    # positives unchanged
+    full = labels("Apple raised $3 billion on March 12, 2014 and grew 5 percent last year.")
+    assert ("$3 billion", "MONEY") in full
+    assert ("March 12, 2014", "DATE") in full
+    assert ("5 percent", "PERCENT") in full
+    assert ("last year", "DATE") in full
