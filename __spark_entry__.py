@@ -232,8 +232,15 @@ def _q_ann_topk(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     qvec = e.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]
-    top = brute_force_topk(e, [float(x) for x in qvec], k=10)
-    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+    # fetch a superset by raw cosine, then re-rank by the ROUNDED value +
+    # vec_id — the oracle's ORDER BY binds to the rounded alias, so raw-
+    # cosine ordering can flip membership on a 4dp tie at the boundary
+    top = brute_force_topk(e, [float(x) for x in qvec], k=50)
+    return (
+        top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
 
 
 def _q_tpch_q5(spark, sf_dir):
@@ -368,15 +375,18 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 def _q_cosine_neardup(spark, sf_dir):
-    # embedding-cosine near-duplicate pairs (brute-force over a slice)
+    # embedding-cosine near-duplicate pairs (brute-force over a slice);
+    # cosine math comes from the one canonical implementation so Spark/
+    # DuckDB parity cannot drift between queries
+    from knowledge_graph_builder_spark.operators.similarity import cosine_col
+
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
-    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
-    norm = lambda c: F.sqrt(F.aggregate(F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v))
+    vec = F.col("embedding").cast("array<double>")
+    a = e.select(F.col("vec_id").alias("a"), vec.alias("ea"))
+    b = e.select(F.col("vec_id").alias("b"), vec.alias("eb"))
     return (
         a.join(b, F.col("a") < F.col("b"))
-        .withColumn("cosine", dot / (norm(F.col("ea")) * norm(F.col("eb"))))
+        .withColumn("cosine", cosine_col(F.col("ea"), F.col("eb")))
         .filter(F.col("cosine") >= 0.2)
         .select("a", "b", F.round("cosine", 4).alias("cosine"))
     )
@@ -405,8 +415,13 @@ def _q_ivf_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 2).collect()[0]["embedding"]]
     cents = ivf_train(e, k_clusters=8, iters=2)
-    top = ivf_topk(e, qvec, cents, k=10, n_probe=8)
-    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+    # superset + rounded re-rank, same 4dp-tie reasoning as ann_topk
+    top = ivf_topk(e, qvec, cents, k=50, n_probe=8)
+    return (
+        top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
 
 
 def _q_anti_join(spark, sf_dir):
@@ -612,11 +627,11 @@ def _q_word_freq(spark, sf_dir):
 
 def _q_label_stats(spark, sf_dir):
     # per-label embedding stats: count + mean vector norm (rounded)
+    from knowledge_graph_builder_spark.operators.similarity import norm_col
+
     e = _t(spark, sf_dir, "embeddings")
-    vec = F.col("embedding").cast("array<double>")
-    norm = F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
     return (
-        e.withColumn("norm", norm)
+        e.withColumn("norm", norm_col(F.col("embedding").cast("array<double>")))
         .groupBy("label")
         .agg(F.count("*").alias("n"), F.round(F.avg("norm"), 4).alias("avg_norm"))
     )
@@ -818,8 +833,11 @@ def _kg_triples_sql() -> str:
     pipeline, not just a row count."""
     from knowledge_graph_builder_spark.sources.synth import GOLDEN_EXPECTED_TRIPLES
 
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
     rows = ",\n              ".join(
-        "('{}', '{}', '{}', '{}')".format(*r) for r in sorted(GOLDEN_EXPECTED_TRIPLES)
+        "(" + ", ".join(q(v) for v in r) + ")" for r in sorted(GOLDEN_EXPECTED_TRIPLES)
     )
     return f"""
         SELECT * FROM (VALUES

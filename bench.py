@@ -120,8 +120,13 @@ def _run_scaling(transcripts_path: str, n_turns: int) -> dict:
              transcripts_path, str(n_turns)],
             capture_output=True, text=True, timeout=1200,
         )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        out[cpus] = json.loads(line)
+        lines = [l for l in proc.stdout.splitlines() if l.startswith('{"cpus"')]
+        if proc.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"scaling sub-run local[{cpus}] failed (rc={proc.returncode}): "
+                f"{proc.stderr.strip()[-400:]}"
+            )
+        out[cpus] = json.loads(lines[-1])
     eff = out[8]["turns_per_sec"] / out[2]["turns_per_sec"] / 4.0
     return {
         "cpus_n": 2,

@@ -83,7 +83,10 @@ _STATE_SCHEMA = "turn_idxs array<int>, texts array<string>"
 
 def _assemble_and_extract(conv_id: str, turn_idxs: list[int], texts: list[str]) -> pd.DataFrame:
     ordered = sorted(zip(turn_idxs, texts))
-    doc = TURN_SEPARATOR.join(t or "" for _, t in ordered)
+    # slice the RAW joined text exactly like assemble_conversations /
+    # the fused kernel, so streamed output is byte-identical to batch
+    # for over-cap conversations
+    doc = TURN_SEPARATOR.join(t or "" for _, t in ordered)[:MAX_TEXT_LENGTH]
     return pd.DataFrame(list(_rows_for_document(conv_id, doc, EMIT_GRAPH)), columns=_KERNEL_COLS)
 
 
@@ -101,15 +104,25 @@ def make_stateful_update(quiet_ms: int):
         if state.exists:
             old = state.get
             turn_idxs, texts = list(old[0]), list(old[1])
-        # state-size cap: the kernel discards everything past
-        # MAX_TEXT_LENGTH anyway, so a hot conversation that never goes
-        # quiet must not grow keyed state (and state-store I/O) without
-        # bound. Past the cap, arriving turns only refresh the timeout.
+        # state-size cap, enforced per ROW: the kernel discards everything
+        # past MAX_TEXT_LENGTH anyway, so a hot conversation must not grow
+        # keyed state (and state-store I/O) without bound — not even
+        # within a single large micro-batch. Past the cap, arriving turns
+        # only refresh the timeout.
         held = sum(len(t) for t in texts) + len(texts)
-        if held <= MAX_TEXT_LENGTH:
-            for pdf in pdfs:
-                turn_idxs.extend(int(i) for i in pdf["turn_idx"])
-                texts.extend("" if t is None else str(t) for t in pdf["text"])
+        grew = False
+        for pdf in pdfs:
+            if held > MAX_TEXT_LENGTH:
+                break
+            for i, t in zip(pdf["turn_idx"], pdf["text"]):
+                if held > MAX_TEXT_LENGTH:
+                    break
+                t = "" if t is None else str(t)
+                turn_idxs.append(int(i))
+                texts.append(t)
+                held += len(t) + 1
+                grew = True
+        if grew:
             state.update((turn_idxs, texts))
         state.setTimeoutDuration(quiet_ms)
         yield pd.DataFrame(columns=_KERNEL_COLS)

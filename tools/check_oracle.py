@@ -46,6 +46,10 @@ def main(sf_dir: str, only: list[str] | None = None):
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     if only:
+        unknown = sorted(set(only) - set(qs))
+        if unknown:  # a typo must not pass as "0 failures / 0 queries"
+            print(f"unknown query name(s): {unknown}; known: {sorted(qs)}")
+            return 1
         qs = {k: v for k, v in qs.items() if k in only}
     failures = []
     for name, fn in qs.items():
