@@ -510,6 +510,33 @@ def _q_corr_stats(spark, sf_dir):
     )
 
 
+def _q_degree_stats(spark, sf_dir):
+    # graph analytics: per-node degrees over a lineitem-derived edge list
+    # (part -> supplier); full-outer degree join, partial-aggregable
+    from knowledge_graph_builder_spark.operators.graphalg import degree_stats
+
+    e = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    return degree_stats(e)
+
+
+def _q_pagerank_top(spark, sf_dir):
+    # iterative centrality over the golden KG (driver-loop iterative
+    # operator like CC — no SQL oracle; pinned by unit tests instead)
+    from knowledge_graph_builder_spark.operators.graphalg import pagerank
+    from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
+    from knowledge_graph_builder_spark.sources.synth import golden_transcripts
+
+    res = run_pipeline(spark, golden_transcripts(spark))
+    ranks = pagerank(res.edges.filter(F.col("type") != "INVOLVES"), iterations=10)
+    return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy(
+        F.col("rank").desc(), "node"
+    ).limit(15)
+
+
 def _q_month_rollup(spark, sf_dir):
     # temporal rollup: events per calendar month + distinct users
     ev = _t(spark, sf_dir, "events")
@@ -741,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_stats": _q_corr_stats,
         "month_rollup": _q_month_rollup,
         "doc_quality": _q_doc_quality,
+        "degree_stats": _q_degree_stats,
         # golden-pinned oracles (literal VALUES = reference-semantics output):
         "kg_triples": _q_kg_triples,
         "kg_events": _q_kg_events,
@@ -754,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viz_graph": _q_viz_graph,
         "viz_nodes": _q_viz_nodes,
         "entity_linking": _q_entity_linking,
+        "pagerank_top": _q_pagerank_top,
         "media_features": _q_media_features,
         "frame_samples": _q_frame_samples,
     }
@@ -932,6 +961,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        "degree_stats": """
+            WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+            o AS (SELECT src AS node, count(*) AS out_degree FROM e GROUP BY 1),
+            i AS (SELECT dst AS node, count(*) AS in_degree FROM e GROUP BY 1)
+            SELECT coalesce(o.node, i.node) AS node,
+                   coalesce(out_degree, 0) AS out_degree,
+                   coalesce(in_degree, 0) AS in_degree,
+                   coalesce(out_degree, 0) + coalesce(in_degree, 0) AS degree
+            FROM o FULL OUTER JOIN i ON o.node = i.node
         """,
         "doc_quality": _doc_quality_sql(),
         "ivf_topk": """

@@ -184,3 +184,27 @@ def test_graph_store_upsert_deterministic_within_batch(spark, tmp_path):
         winners.add(rows[0].session_id)
     # same duplicate batch, different partitioning -> same surviving row
     assert len(winners) == 1
+
+
+def test_degree_stats_hand_graph(spark):
+    from knowledge_graph_builder_spark.operators.graphalg import degree_stats
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("d", "a")], "src string, dst string"
+    )
+    out = {r.node: (r.out_degree, r.in_degree, r.degree) for r in degree_stats(e).collect()}
+    assert out == {"a": (2, 1, 3), "b": (1, 1, 2), "c": (0, 2, 2), "d": (1, 0, 1)}
+
+
+def test_pagerank_star_and_normalization(spark):
+    from knowledge_graph_builder_spark.operators.graphalg import pagerank
+
+    # star: everyone points at 'hub'; hub is dangling
+    e = spark.createDataFrame(
+        [("s1", "hub"), ("s2", "hub"), ("s3", "hub")], "src string, dst string"
+    )
+    ranks = {r.node: r.rank for r in pagerank(e, iterations=20).collect()}
+    assert ranks["hub"] == max(ranks.values())
+    assert ranks["s1"] == ranks["s2"] == ranks["s3"] < ranks["hub"]
+    # dangling redistribution keeps the distribution normalized
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
