@@ -40,7 +40,12 @@ def assemble_conversations(transcripts: DataFrame, max_length: int = MAX_TEXT_LE
     stay deterministic.
     """
     return (
-        transcripts.select("conv_id", "turn_idx", "text")
+        # malformed-row contract (shared with the fused kernel): NULL
+        # conv_id rows are dropped, NULL turn_idx sorts first as -1
+        transcripts.select(
+            "conv_id", F.coalesce("turn_idx", F.lit(-1)).alias("turn_idx"), "text"
+        )
+        .filter(F.col("conv_id").isNotNull())
         .groupBy("conv_id")
         .agg(
             F.array_sort(F.collect_list(F.struct("turn_idx", "text"))).alias("turns"),

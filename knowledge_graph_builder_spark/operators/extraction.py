@@ -224,7 +224,12 @@ def extract_from_transcripts(
     transcripts: DataFrame, partitions: int | None = None, emit: frozenset = EMIT_ALL
 ) -> DataFrame:
     """Fused assembly+extraction: transcripts -> kernel rows, one shuffle."""
-    t = transcripts.select("conv_id", "text", "turn_idx")
+    # malformed-row contract (shared with assemble_conversations): a NULL
+    # conv_id has no document to belong to -> dropped; a NULL turn_idx
+    # sorts first deterministically as -1
+    t = transcripts.select(
+        "conv_id", "text", F.coalesce("turn_idx", F.lit(-1)).alias("turn_idx")
+    ).filter(F.col("conv_id").isNotNull())
     t = t.repartition(partitions, "conv_id") if partitions else t.repartition("conv_id")
     t = t.sortWithinPartitions("conv_id", "turn_idx")
     t = t.select("conv_id", "text")  # column order contract with the kernel

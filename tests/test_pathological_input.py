@@ -55,3 +55,31 @@ def test_bucket_cap_in_pure_kernel():
     assert len(an.sentences) == 1  # genuinely boundary-free
     per_rule = Counter(c.rule_pri for _si, c in an.candidates)
     assert per_rule.get(3, 0) <= MAX_BUCKET_PER_SENTENCE**2
+
+
+def test_null_conv_id_and_turn_idx_contract(spark, tmp_path):
+    """Malformed rows behave identically on both paths: NULL conv_id rows
+    are dropped (no document to belong to), NULL turn_idx sorts first as
+    -1. Written through parquet because createDataFrame enforces the
+    declared non-nullability but file reads do not."""
+    from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
+    from knowledge_graph_builder_spark.sources.transcripts import read_transcripts
+
+    rows = [
+        (None, 0, "user", "Apple was founded by Steve Jobs.", "", None),
+        ("c1", None, "user", "Tim Cook is the CEO of Apple.", "", None),
+        ("c1", 1, "user", "Microsoft competes with Apple.", "", None),
+    ]
+    p = str(tmp_path / "nulls")
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).write.mode("overwrite").parquet(p)
+    tr = read_transcripts(spark, p)
+    expected = {
+        ("c1", "Tim Cook", "CEO_OF", "Apple"),
+        ("c1", "Microsoft", "COMPETES_WITH", "Apple"),
+    }
+    for fused in (True, False):
+        res = run_pipeline(spark, tr, fused=fused, persist=False)
+        got = {(r.document_id, r.source, r.type, r.target) for r in res.triples.collect()}
+        assert got == expected, f"fused={fused}: {got}"
