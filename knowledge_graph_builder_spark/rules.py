@@ -126,7 +126,7 @@ SPACY_TO_NORMALIZED = {
 }
 
 # (rel_type, source_norm_type, target_norm_type) whitelist
-# (reference extraction_rules.py:40-82). 16 pairs over 13 types.
+# (reference extraction_rules.py:40-82). 15 pairs over 13 types.
 SEMANTIC_RULES: list[tuple[str, str, str]] = [
     ("FOUNDED", "PERSON", "COMPANY"),
     ("CEO_OF", "PERSON", "COMPANY"),
