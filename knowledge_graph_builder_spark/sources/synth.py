@@ -74,6 +74,17 @@ GOLDEN_TEXTS: dict[str, list[str]] = {
     "g19": ["Sony manufactures the PlayStation."],
     # EV6 location + dual R2/R3 firing in one sentence
     "g20": ["Apple launched the iPhone in Cupertino."],
+    # D1 dual-key survival: R3 RELEASED and R4 list-PRODUCES share the
+    # (org, product) pair but differ in type -> BOTH survive, both carry
+    # the sentence date (reference relationship_logic.py:360-408)
+    "g21": ["Apple released products such as the iPhone in 2007."],
+    # R1 80-char distance gate: 'ceo of' present but 107/124 chars from
+    # the person/org -> every indicator fails, no triple at all
+    # (reference relationship_logic.py:168-171)
+    "g22": [
+        "The ceo of one regional division spoke at length about quarterly "
+        "strategy and emerging markets, and afterwards Tim Cook thanked Microsoft."
+    ],
 }
 
 # Filler sentence templates for bulk conversations. Vocabulary is chosen
@@ -194,6 +205,8 @@ GOLDEN_EXPECTED_TRIPLES: frozenset[tuple[str, str, str, str]] = frozenset({
     ("g19", "Sony", "PRODUCES", "PlayStation"),
     ("g20", "Apple", "RELEASED", "iPhone"),
     ("g20", "Apple", "LOCATED_IN", "Cupertino"),
+    ("g21", "Apple", "RELEASED", "iPhone"),
+    ("g21", "Apple", "PRODUCES", "iPhone"),
 })
 
 
@@ -209,4 +222,5 @@ GOLDEN_EXPECTED_EVENTS: frozenset[tuple] = frozenset({
     ("g5", "LeadershipChange", "Tim Cook joins Apple", "Tim Cook|Apple", "2011", None, None, 0.7),
     ("g6", "FundingRound", "Microsoft funding round", "Microsoft", "last year", "$1 billion", None, 0.7),
     ("g20", "ProductLaunch", "Apple product launch", "Apple|iPhone", None, None, "Cupertino", 0.7),
+    ("g21", "ProductLaunch", "Apple product launch", "Apple|iPhone", "2007", None, None, 0.7),
 })

@@ -225,3 +225,24 @@ def test_g20_event_location_and_dual_rules(result):
     assert events["g20"] == {
         ("ProductLaunch", "Apple product launch", ("Apple", "iPhone"), None, None, "Cupertino", 0.7)
     }
+
+
+def test_g21_dual_key_survival_with_metadata(result):
+    # R3 RELEASED and R4 list-PRODUCES differ in type -> distinct D1 keys,
+    # BOTH survive, both carry the sentence date (attach_metadata rules)
+    _, _, triples, events = result
+    assert t(triples, "g21") == {
+        ("Apple", "RELEASED", "iPhone", 0.9, "2007", None),
+        ("Apple", "PRODUCES", "iPhone", 0.85, "2007", None),
+    }
+    assert events["g21"] == {
+        ("ProductLaunch", "Apple product launch", ("Apple", "iPhone"), "2007", None, None, 0.7)
+    }
+
+
+def test_g22_distance_gate_rejects_far_indicator(result):
+    # 'ceo of' sits 107/124 chars from Tim Cook/Microsoft -> R1's 80-char
+    # gate fails on every indicator; no fallback survives the threshold
+    _, _, triples, events = result
+    assert t(triples, "g22") == set()
+    assert "g22" not in events

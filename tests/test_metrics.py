@@ -37,7 +37,7 @@ def test_insights_and_histogram(spark):
     row = stats[0]
     assert row["session_id"] == "batch"
     assert row["total_entities"] == 27
-    assert row["total_relationships"] == 33
+    assert row["total_relationships"] == 34  # 28 golden triples + INVOLVES, deduped on (src, type, dst)
     assert 0.0 <= row["avg_confidence"] <= 1.0
 
     hist = {r["type"]: r["count"] for r in entity_type_histogram(res.nodes).collect()}

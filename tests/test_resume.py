@@ -24,7 +24,9 @@ def test_resume_reuses_completed_stages(spark, tmp_path):
 
     r1 = run_pipeline(spark, tr, checkpoint_dir=ckpt, run_id="r1")
     base = _triples(r1)
-    assert len(base) == 26
+    from knowledge_graph_builder_spark.sources.synth import GOLDEN_EXPECTED_TRIPLES
+
+    assert len(base) == len(GOLDEN_EXPECTED_TRIPLES)
     stages = {row["stage"] for row in r1.lineage}
     assert {"kernel_rows", "entities", "triples", "events"} <= stages
     assert all(not row.get("resumed") for row in r1.lineage)

@@ -62,7 +62,9 @@ def test_foreachbatch_matches_batch(spark, tmp_path):
         tuple(r)
         for r in run_pipeline(spark, tr).triples.select("document_id", "source", "type", "target").collect()
     }
-    assert streamed == batch and len(batch) == 26
+    from knowledge_graph_builder_spark.sources.synth import GOLDEN_EXPECTED_TRIPLES
+
+    assert streamed == batch and len(batch) == len(GOLDEN_EXPECTED_TRIPLES)
 
 
 def test_stateful_assembly_across_batches(spark, tmp_path):
