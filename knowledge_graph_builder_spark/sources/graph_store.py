@@ -103,3 +103,30 @@ class GraphStore:
                 # NULL for rows with no session_id and silently delete them
                 keep = F.col("session_id").isNull() | (F.col("session_id") != session_id)
                 self._swap_in(df.filter(keep), table)
+
+
+class BatchLedger:
+    """Applied-batch ledger for exactly-once streaming MERGE.
+
+    Structured Streaming guarantees foreachBatch is called with a stable
+    batch_id per micro-batch; a retried batch re-arrives with the SAME id.
+    Recording applied ids (write-then-rename, like the checkpoint
+    manifests) makes store upserts exactly-once: a retry of an applied
+    batch is skipped instead of re-merged.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, batch_id: int) -> str:
+        return os.path.join(self.root, f"batch-{batch_id}.done")
+
+    def applied(self, batch_id: int) -> bool:
+        return os.path.exists(self._path(batch_id))
+
+    def mark(self, batch_id: int) -> None:
+        tmp = self._path(batch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("ok")
+        os.replace(tmp, self._path(batch_id))

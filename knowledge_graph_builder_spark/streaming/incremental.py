@@ -73,6 +73,50 @@ def stream_kg_foreachbatch(
     return writer.start()
 
 
+def stream_kg_to_store(
+    spark: SparkSession,
+    input_path: str,
+    store_root: str,
+    checkpoint_dir: str,
+    session_id: str = "stream",
+    available_now: bool = True,
+):
+    """Micro-batches MERGE into the durable GraphStore (Neo4j-MERGE
+    semantics) with exactly-once OBSERVABLE state: foreachBatch delivers a
+    stable batch_id; an applied-batch ledger (marked after both upserts)
+    skips cleanly-retried batches, and a crash between upsert and mark
+    re-merges the same content, which the keyed last-writer dedup makes
+    value-idempotent. Streaming analog of the reference's per-request
+    save_graph_data transaction (graph_db.py:49-72). Returns the query."""
+    from ..sources.graph_store import BatchLedger, GraphStore
+
+    import hashlib
+
+    stream = read_transcript_stream(spark, input_path)
+    store = GraphStore(spark, store_root)
+    # ledger namespaced per checkpoint lineage: batch ids restart at 0 in
+    # a NEW checkpoint, and skipping "batch 0" from a different stream
+    # because an old stream applied its own batch 0 would lose data
+    lineage = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    ledger = BatchLedger(f"{store_root}/_applied_batches/{lineage}")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if ledger.applied(batch_id):
+            return
+        res = run_pipeline(spark, batch_df, session_id=session_id, persist=True)
+        try:
+            store.upsert_nodes(res.nodes)
+            store.upsert_edges(res.edges)
+        finally:
+            res.kernel_rows.unpersist()
+        ledger.mark(batch_id)
+
+    writer = stream.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # ---------------------------------------------------------------------------
 # Stateful conversation assembly
 # ---------------------------------------------------------------------------
