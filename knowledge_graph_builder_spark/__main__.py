@@ -31,6 +31,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--format", default=None, choices=["parquet", "json", "csv"],
                    help="input format (default: inferred from path / parquet)")
     p.add_argument("--streaming", action="store_true", help="run the foreachBatch streaming pipeline")
+    p.add_argument("--store-root", default=None,
+                   help="with --streaming: MERGE micro-batches into the durable graph store at this path (exactly-once) instead of per-batch parquet output")
     args = p.parse_args(argv)
 
     from .session import get_spark
@@ -40,11 +42,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.streaming:
         if not args.input:
             p.error("--streaming requires --input (a parquet path; table streams need an Iceberg catalog)")
-        from .streaming.incremental import stream_kg_foreachbatch
+        if args.store_root:
+            from .streaming.incremental import stream_kg_to_store
 
-        q = stream_kg_foreachbatch(
-            spark, args.input, args.output, args.checkpoint or f"{args.output}/_stream_ckpt"
-        )
+            q = stream_kg_to_store(
+                spark, args.input, args.store_root,
+                args.checkpoint or f"{args.store_root}/_stream_ckpt",
+                session_id=args.session_id,
+            )
+        else:
+            from .streaming.incremental import stream_kg_foreachbatch
+
+            q = stream_kg_foreachbatch(
+                spark, args.input, args.output, args.checkpoint or f"{args.output}/_stream_ckpt"
+            )
         q.awaitTermination()
         return 0
 
