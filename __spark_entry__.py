@@ -583,6 +583,18 @@ def _q_kg_events(spark, sf_dir):
     )
 
 
+def _q_lsh_topk(spark, sf_dir):
+    # hyperplane-LSH ANN (training-free scale path): approximate by
+    # construction, so rows-only — recall vs brute force is pinned by
+    # tests/test_operators.py::test_lsh_topk_contains_exact_neighbors
+    from knowledge_graph_builder_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    top = lsh_topk(e, qvec, k=10, bits=16, bands=8)
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def _q_dedup_clusters(spark, sf_dir):
     # near-dup clusters with one canonical survivor per cluster
     from knowledge_graph_builder_spark.operators.dedup import dedup_clusters
@@ -778,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "simhash_bands": _q_simhash,
         "knn_allpairs": _q_knn_allpairs,
+        "lsh_topk": _q_lsh_topk,
         "canonicalize": _q_canonicalize,
         "viz_graph": _q_viz_graph,
         "viz_nodes": _q_viz_nodes,
