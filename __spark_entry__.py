@@ -45,7 +45,7 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("ts"),
     )
     transcripts = golden_transcripts(spark).unionByName(docs)
-    return run_pipeline(spark, transcripts).triples
+    return run_pipeline(spark, transcripts).triples  # flagship keeps persist: triples is a filter of the held kernel frame
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -336,9 +336,11 @@ def _q_sessionize(spark, sf_dir):
     from knowledge_graph_builder_spark.operators.joins import sessionize
 
     ev = _t(spark, sf_dir, "events")
-    s = sessionize(ev, "user_id", "ts", gap_seconds=1800)
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800, tie_break_cols=["event_id"])
+    # cast pins the cross-engine type: DuckDB's sum() is HUGEINT, and the
+    # driver's hasher is stricter than str() equality (r01's one hash-fail)
     return s.groupBy("user_id").agg(
-        (F.max("session_id") + 1).alias("n_sessions"),
+        (F.max("session_id") + 1).cast("long").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
 
@@ -530,7 +532,7 @@ def _q_pagerank_top(spark, sf_dir):
     from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
     from knowledge_graph_builder_spark.sources.synth import golden_transcripts
 
-    res = run_pipeline(spark, golden_transcripts(spark))
+    res = run_pipeline(spark, golden_transcripts(spark), persist=False)
     ranks = pagerank(res.edges.filter(F.col("type") != "INVOLVES"), iterations=10)
     return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy(
         F.col("rank").desc(), "node"
@@ -559,7 +561,7 @@ def _q_kg_triples(spark, sf_dir):
     from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
     from knowledge_graph_builder_spark.sources.synth import golden_transcripts
 
-    return run_pipeline(spark, golden_transcripts(spark)).triples.select(
+    return run_pipeline(spark, golden_transcripts(spark), persist=False).triples.select(
         F.col("document_id"), F.col("source"), F.col("type"), F.col("target")
     )
 
@@ -570,7 +572,7 @@ def _q_kg_events(spark, sf_dir):
     from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
     from knowledge_graph_builder_spark.sources.synth import golden_transcripts
 
-    res = run_pipeline(spark, golden_transcripts(spark))
+    res = run_pipeline(spark, golden_transcripts(spark), persist=False)
     return res.events.select(
         "document_id",
         "event_type",
@@ -612,9 +614,13 @@ def _q_minhash_neardup(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
+    # runs over the repo-internal deterministic corpus (not the sf tables)
+    # so its literal-VALUES oracle is immune to testdata regeneration —
+    # xxhash64 bit-votes aren't SQL-expressible, so the pin is the oracle
     from knowledge_graph_builder_spark.operators.dedup import simhash_duplicates
+    from knowledge_graph_builder_spark.sources.synth import synth_documents
 
-    d = _t(spark, sf_dir, "documents")
+    d = synth_documents(spark)
     return simhash_duplicates(d, "doc_id", "text").select("a", "b")
 
 
@@ -630,7 +636,7 @@ def _q_canonicalize(spark, sf_dir):
     from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
     from knowledge_graph_builder_spark.sources.synth import golden_transcripts
 
-    nodes = run_pipeline(spark, golden_transcripts(spark)).nodes
+    nodes = run_pipeline(spark, golden_transcripts(spark), persist=False).nodes
     return canonicalize_nodes(nodes).select("name", "type", "canonical_id")
 
 
@@ -646,7 +652,7 @@ def _q_viz_graph(spark, sf_dir):
     from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
     from knowledge_graph_builder_spark.sources.synth import golden_transcripts
 
-    res = run_pipeline(spark, golden_transcripts(spark))
+    res = run_pipeline(spark, golden_transcripts(spark), persist=False)
     return viz_edges(res.edges.filter(F.col("type") != "INVOLVES"))
 
 
@@ -689,7 +695,7 @@ def _q_viz_nodes(spark, sf_dir):
     from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
     from knowledge_graph_builder_spark.sources.synth import golden_transcripts
 
-    res = run_pipeline(spark, golden_transcripts(spark))
+    res = run_pipeline(spark, golden_transcripts(spark), persist=False)
     event_nodes, _ = build_event_nodes_and_edges(res.events, res.nodes)
     return viz_nodes(res.nodes, event_nodes)
 
@@ -724,8 +730,33 @@ def _q_entity_linking(spark, sf_dir):
         .filter(F.col("kind") == "mention")
         .select(F.col("text").alias("mention"))
     )
-    nodes = run_pipeline(spark, tr).nodes
+    nodes = run_pipeline(spark, tr, persist=False).nodes
     return link_mentions(mentions, nodes)
+
+
+def _q_kg_insights(spark, sf_dir):
+    # Q1 over the ACTUAL golden KG (reference graph_db.py:153-179): session
+    # totals + entity-type histogram in one long-format frame, pinned to a
+    # hand-derivable literal oracle like kg_triples/kg_events.
+    from knowledge_graph_builder_spark.operators.graph import entity_type_histogram, insights
+    from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
+    from knowledge_graph_builder_spark.sources.synth import golden_transcripts
+
+    res = run_pipeline(spark, golden_transcripts(spark), persist=False)
+    ins = insights(res.nodes, res.edges).select(
+        F.explode(
+            F.create_map(
+                F.lit("total_entities"), F.col("total_entities").cast("double"),
+                F.lit("total_relationships"), F.col("total_relationships").cast("double"),
+                F.lit("avg_confidence"), F.col("avg_confidence").cast("double"),
+            )
+        ).alias("stat", "value")
+    )
+    hist = entity_type_histogram(res.nodes).select(
+        F.concat(F.lit("type:"), F.col("type")).alias("stat"),
+        F.col("count").cast("double").alias("value"),
+    )
+    return ins.unionByName(hist).select("stat", F.round("value", 4).alias("value"))
 
 
 def _q_pdf_ingest(spark, sf_dir):
@@ -785,19 +816,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": _q_kg_triples,
         "kg_events": _q_kg_events,
         "pdf_ingest": _q_pdf_ingest,
-        # rows-only (no SQL-expressible oracle):
+        "kg_insights": _q_kg_insights,
+        # oracled via recomputed SQL (minhash/clusters) or literal pins:
         "minhash_neardup": _q_minhash_neardup,
         "dedup_clusters": _q_dedup_clusters,
         "simhash_bands": _q_simhash,
-        "knn_allpairs": _q_knn_allpairs,
-        "lsh_topk": _q_lsh_topk,
         "canonicalize": _q_canonicalize,
-        "viz_graph": _q_viz_graph,
-        "viz_nodes": _q_viz_nodes,
         "entity_linking": _q_entity_linking,
         "pagerank_top": _q_pagerank_top,
         "media_features": _q_media_features,
         "frame_samples": _q_frame_samples,
+        # rows-only (approximate-by-construction; recall pinned in tests):
+        "knn_allpairs": _q_knn_allpairs,
+        "lsh_topk": _q_lsh_topk,
+        "viz_graph": _q_viz_graph,
+        "viz_nodes": _q_viz_nodes,
     }
 
 
@@ -909,10 +942,149 @@ def _kg_events_sql() -> str:
     """
 
 
+# Exact 3-word-shingle Jaccard pairs at >= 0.5 over the documents table —
+# shared by the minhash_neardup and dedup_clusters oracles. This is a
+# GENUINE recomputed oracle (not a pin): on this corpus the LSH banding's
+# recall at J>=0.5 is exactly 1.0 (verified empirically), so the Spark
+# LSH+verify output equals the exact pairwise threshold set.
+_EXACT_JACCARD_PAIRS_CTES = """
+            norm AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+              FROM norm, LATERAL unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            cand AS (
+              SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS n_inter
+              FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+              GROUP BY 1, 2
+            ),
+            exact_pairs AS (
+              SELECT a, b, round(n_inter / (za.n + zb.n - n_inter), 4) AS jaccard
+              FROM cand JOIN sizes za ON cand.a = za.doc_id
+                        JOIN sizes zb ON cand.b = zb.doc_id
+              WHERE n_inter / (za.n + zb.n - n_inter) >= 0.5
+            )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples": _kg_triples_sql(),
         "kg_events": _kg_events_sql(),
+        "minhash_neardup": f"""
+            WITH {_EXACT_JACCARD_PAIRS_CTES}
+            SELECT a, b, jaccard FROM exact_pairs
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_EXACT_JACCARD_PAIRS_CTES},
+            e AS (SELECT a, b FROM exact_pairs UNION SELECT b, a FROM exact_pairs),
+            reach(x, y) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.x, e.b FROM reach r JOIN e ON r.y = e.a
+            ),
+            comp AS (SELECT x AS doc_id, min(y) AS mn FROM reach GROUP BY x)
+            SELECT d.doc_id,
+                   coalesce(least(c.mn, d.doc_id), d.doc_id) AS cluster_id,
+                   (coalesce(least(c.mn, d.doc_id), d.doc_id) = d.doc_id) AS is_canonical
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        """,
+        # pinned: simhash bit-votes need xxhash64 (not SQL-expressible); the
+        # query runs over the repo-internal synth_documents corpus, so this
+        # literal set is testdata-independent (derivation: each even-indexed
+        # golden doc pairs with its one-word variant, doc 0 with its exact
+        # dup 44, and variant 22 with that dup; docs 10/12's variants land
+        # outside every 16-bit band)
+        "simhash_bands": """
+            SELECT a::BIGINT AS a, b::BIGINT AS b FROM (VALUES
+              (0, 22), (0, 44), (2, 24), (4, 26), (6, 28), (8, 30),
+              (14, 36), (16, 38), (18, 40), (20, 42), (22, 44)
+            ) AS t(a, b)
+        """,
+        # pinned Q1 over the golden KG (hand-checkable: 27 entity nodes of
+        # 4 types, 34 deduped edges incl. INVOLVES, avg confidence over the
+        # 24 non-INVOLVES edges = 0.82 — reference graph_db.py:153-179)
+        "kg_insights": """
+            SELECT stat, value::DOUBLE AS value FROM (VALUES
+              ('avg_confidence', 0.82), ('total_entities', 27.0),
+              ('total_relationships', 34.0), ('type:GPE', 5.0),
+              ('type:ORG', 9.0), ('type:PERSON', 6.0), ('type:PRODUCT', 7.0)
+            ) AS t(stat, value)
+        """,
+        # pinned: canonicalization over the golden node set — the two
+        # suffix aliases collapse ("Apple Inc."->"Apple", "Tesla Corp."->
+        # "Tesla"); every other name is its own canonical id
+        "canonicalize": """
+            SELECT * FROM (VALUES
+              ('Alibaba', 'ORG', 'Alibaba'), ('Amazon', 'ORG', 'Amazon'),
+              ('Android', 'PRODUCT', 'Android'), ('Apple', 'ORG', 'Apple'),
+              ('Beats', 'ORG', 'Beats'), ('Bill Gates', 'PERSON', 'Bill Gates'),
+              ('California', 'GPE', 'California'), ('Cupertino', 'GPE', 'Cupertino'),
+              ('Echo', 'PRODUCT', 'Echo'), ('Fire TV', 'PRODUCT', 'Fire TV'),
+              ('Ford Motors', 'ORG', 'Ford Motors'), ('Google', 'ORG', 'Google'),
+              ('Jeff Bezos', 'PERSON', 'Jeff Bezos'), ('Kindle', 'PRODUCT', 'Kindle'),
+              ('Microsoft', 'ORG', 'Microsoft'), ('Pixel', 'PRODUCT', 'Pixel'),
+              ('PlayStation', 'PRODUCT', 'PlayStation'), ('Redmond', 'GPE', 'Redmond'),
+              ('Satya Nadella', 'PERSON', 'Satya Nadella'), ('Seattle', 'GPE', 'Seattle'),
+              ('Sony', 'ORG', 'Sony'), ('Steve Jobs', 'PERSON', 'Steve Jobs'),
+              ('Sundar Pichai', 'PERSON', 'Sundar Pichai'), ('Tesla', 'ORG', 'Tesla'),
+              ('Texas', 'GPE', 'Texas'), ('Tim Cook', 'PERSON', 'Tim Cook'),
+              ('iPhone', 'PRODUCT', 'iPhone')
+            ) AS t(name, type, canonical_id)
+        """,
+        # pinned: 10-iteration damped PageRank over the golden KG's 24
+        # non-INVOLVES edges (deterministic driver loop, 6dp)
+        "pagerank_top": """
+            SELECT node, rank::DOUBLE AS rank FROM (VALUES
+              ('Apple', 0.112462), ('Android', 0.065522), ('Microsoft', 0.063794),
+              ('Redmond', 0.058723), ('Amazon', 0.05848), ('PlayStation', 0.05848),
+              ('Texas', 0.05848), ('Beats', 0.055509), ('Cupertino', 0.055509),
+              ('iPhone', 0.055509), ('Alibaba', 0.039896), ('Fire TV', 0.039896),
+              ('Google', 0.039896), ('Kindle', 0.039896), ('Seattle', 0.039896)
+            ) AS t(node, rank)
+        """,
+        # pinned: mention->entity link scores over the golden KG (exact
+        # self-links score 0.5*1+0.3*1+0.2*1=1.0; the two suffixed aliases
+        # score 0.5*0.5+0.3*0+0.2*1=0.45 against their bare-name entity)
+        "entity_linking": """
+            SELECT mention, entity, link_score::DOUBLE AS link_score FROM (VALUES
+              ('Alibaba', 'Alibaba', 1.0), ('Amazon', 'Amazon', 1.0),
+              ('Android', 'Android', 1.0), ('Apple', 'Apple', 1.0),
+              ('Apple Inc.', 'Apple', 0.45), ('Beats', 'Beats', 1.0),
+              ('Bill Gates', 'Bill Gates', 1.0), ('California', 'California', 1.0),
+              ('Cupertino', 'Cupertino', 1.0), ('Fire TV', 'Fire TV', 1.0),
+              ('Ford Motors', 'Ford Motors', 1.0), ('Google', 'Google', 1.0),
+              ('Jeff Bezos', 'Jeff Bezos', 1.0), ('Kindle', 'Kindle', 1.0),
+              ('Microsoft', 'Microsoft', 1.0), ('Pixel', 'Pixel', 1.0),
+              ('PlayStation', 'PlayStation', 1.0), ('Redmond', 'Redmond', 1.0),
+              ('Satya Nadella', 'Satya Nadella', 1.0), ('Seattle', 'Seattle', 1.0),
+              ('Sony', 'Sony', 1.0), ('Steve Jobs', 'Steve Jobs', 1.0),
+              ('Sundar Pichai', 'Sundar Pichai', 1.0), ('Tesla Corp.', 'Tesla', 0.45),
+              ('Texas', 'Texas', 1.0), ('Tim Cook', 'Tim Cook', 1.0),
+              ('iPhone', 'iPhone', 1.0)
+            ) AS t(mention, entity, link_score)
+        """,
+        # derived, not pinned: synth_media is seeded-deterministic — images
+        # are ids 0,3,..,27 with payload length 64+(id%5)*32, and the fake
+        # feature vector is normalized so it sums to exactly 1
+        "media_features": """
+            SELECT id AS media_id, (64 + (id % 5) * 32)::INT AS n_bytes,
+                   1.0::DOUBLE AS feat_sum
+            FROM generate_series(0, 27, 3) AS t(id)
+        """,
+        # derived: videos are ids 2,5,..,29 with duration 3000ms; sampling
+        # every 500ms gives frames 0..5 at ts = idx*500
+        "frame_samples": """
+            SELECT id AS media_id, f::INT AS frame_idx, (f * 500)::INT AS ts_ms
+            FROM generate_series(2, 29, 3) AS t(id),
+                 generate_series(0, 5) AS g(f)
+        """,
         # golden-pinned (hand derivation: "Steve Jobs founded Apple" ->
         # R1 FOUNDED indicator at 0.95 survives D1 over the SVO duplicate,
         # PERSON-FOUNDED->COMPANY passes V1/V2)
@@ -1040,9 +1212,9 @@ def oracle_sql() -> dict[str, str]:
                                OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
                           THEN 1 ELSE 0 END AS is_new
               FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
-            SELECT user_id, sum(is_new) AS n_sessions, count(*) AS n_events
+            SELECT user_id, sum(is_new)::BIGINT AS n_sessions, count(*) AS n_events
             FROM lagged GROUP BY user_id
         """,
         "range_join": """

@@ -87,12 +87,22 @@ def lsh_candidate_pairs(
             )
         ).alias("bucket"),
     )
-    grouped = bands.groupBy("bucket").agg(F.collect_set("doc_id").alias("members"))
-    bounded = grouped.filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
+    # Size-filter FIRST with a partial-aggregable count, THEN self-join
+    # within surviving buckets (the canonicalize.py candidate_pairs
+    # pattern): a degenerate bucket (empty/boilerplate docs) at 100 TB
+    # must never materialize an unbounded member array on one reducer.
+    ok_buckets = (
+        bands.groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .select("bucket")
+    )
+    bounded = bands.join(ok_buckets, "bucket")
     return (
-        bounded.select(F.explode("members").alias("a"), "members")
-        .select("a", F.explode("members").alias("b"))
+        bounded.select("bucket", F.col("doc_id").alias("a"))
+        .join(bounded.select("bucket", F.col("doc_id").alias("b")), "bucket")
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
         .distinct()
     )
 

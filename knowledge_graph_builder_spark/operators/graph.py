@@ -133,52 +133,94 @@ def entity_type_histogram(nodes: DataFrame) -> DataFrame:
     return nodes.groupBy("session_id", "type").agg(F.countDistinct("name").alias("count"))
 
 
-# Q2 color map (reference graph_db.py:205-219).
-_TYPE_COLORS = {
-    "PERSON": "#FF6B6B",
-    "ORG": "#4ECDC4",
-    "GPE": "#45B7D1",
-    "PRODUCT": "#FFA07A",
-    "Event": "#9B59B6",
+# Q2 color map — exact values from reference graph_db.py:205-219, covering
+# both entity types and event types in ONE map (the reference keys event
+# nodes by their event type, not a generic "Event" group).
+TYPE_COLORS = {
+    "PERSON": "#3b82f6",
+    "ORG": "#10b981",
+    "GPE": "#f59e0b",
+    "PRODUCT": "#8b5cf6",
+    "FAC": "#06b6d4",
+    "WORK_OF_ART": "#a855f7",
+    # event types
+    "Acquisition": "#fbbf24",
+    "ProductLaunch": "#ec4899",
+    "LeadershipChange": "#f59e0b",
+    "Conference": "#8b5cf6",
+    "FundingRound": "#10b981",
+    "Other": "#6b7280",
 }
+ENTITY_DEFAULT_COLOR = "#6b7280"  # graph_db.py:233
+EVENT_DEFAULT_COLOR = "#fbbf24"  # graph_db.py:252
+EDGE_COLOR = "#64748b"  # graph_db.py:290
+
+
+def _color_expr(group_col, default: str):
+    color = None
+    for t, c in TYPE_COLORS.items():
+        cond = group_col == t
+        color = F.when(cond, F.lit(c)) if color is None else color.when(cond, F.lit(c))
+    return color.otherwise(F.lit(default))
 
 
 def viz_nodes(nodes: DataFrame, event_nodes: DataFrame | None = None) -> DataFrame:
     """Q2 — vis-network node projection (graph_db.py:186-256): entity nodes
-    with per-type group/color, event nodes unioned with the Event color."""
-    color = None
-    for t, c in _TYPE_COLORS.items():
-        cond = F.col("type") == t
-        color = F.when(cond, F.lit(c)) if color is None else color.when(cond, F.lit(c))
+    (shape dot) with per-type group/color, event nodes (shape diamond)
+    grouped BY EVENT TYPE with the event-type colors."""
     ents = nodes.select(
         F.col("name").alias("id"),
         F.col("name").alias("label"),
         F.col("type").alias("group"),
-        color.otherwise(F.lit("#95A5A6")).alias("color"),
-        F.concat(F.col("name"), F.lit(" ("), F.col("type"), F.lit(")")).alias("title"),
+        _color_expr(F.col("type"), ENTITY_DEFAULT_COLOR).alias("color"),
+        # graph_db.py:225-227: "label (group)" + optional source snippet
+        F.concat(
+            F.col("name"), F.lit(" ("), F.col("type"), F.lit(")"),
+            F.when(
+                F.col("source_sentence").isNotNull(),
+                F.concat(F.lit("\n\nSource: "), F.substring("source_sentence", 1, 100), F.lit("...")),
+            ).otherwise(F.lit("")),
+        ).alias("title"),
+        F.lit("dot").alias("shape"),
     )
     if event_nodes is None:
         return ents
     evs = event_nodes.select(
         F.col("name").alias("id"),
         F.col("name").alias("label"),
-        F.lit("Event").alias("group"),
-        F.lit(_TYPE_COLORS["Event"]).alias("color"),
-        F.concat(F.col("name"), F.lit(" ["), F.col("event_type"), F.lit("]")).alias("title"),
+        F.col("event_type").alias("group"),
+        _color_expr(F.col("event_type"), EVENT_DEFAULT_COLOR).alias("color"),
+        # graph_db.py:240-246: typed tooltip + optional date/amount/context
+        F.concat(
+            F.lit("EVENT: "), F.col("name"), F.lit("\nType: "), F.col("event_type"),
+            F.when(F.col("date").isNotNull(), F.concat(F.lit("\nDate: "), F.col("date"))).otherwise(F.lit("")),
+            F.when(F.col("amount").isNotNull(), F.concat(F.lit("\nAmount: "), F.col("amount"))).otherwise(F.lit("")),
+            F.when(
+                F.col("context").isNotNull(),
+                F.concat(F.lit("\n\nContext: "), F.substring("context", 1, 100), F.lit("...")),
+            ).otherwise(F.lit("")),
+        ).alias("title"),
+        F.lit("diamond").alias("shape"),
     )
     return ents.unionByName(evs)
 
 
 def viz_edges(edges: DataFrame) -> DataFrame:
-    """Q3 — vis-network edge projection (graph_db.py:259-292): width =
-    greatest(2, confidence*4), opacity = least(1.0, confidence+0.3)."""
+    """Q3 — vis-network edge projection (graph_db.py:259-292): confidence
+    defaults to 1.0 when absent/falsy (graph_db.py:270), width =
+    max(2, confidence*4), opacity = min(1.0, confidence+0.3), fixed edge
+    color #64748b."""
+    conf = F.when(
+        F.col("confidence").isNull() | (F.col("confidence") == 0), F.lit(1.0)
+    ).otherwise(F.col("confidence"))
     return edges.select(
         F.col("src").alias("from"),
         F.col("dst").alias("to"),
         F.col("type").alias("label"),
-        "confidence",
-        F.greatest(F.lit(2.0), F.col("confidence") * 4).alias("width"),
-        F.least(F.lit(1.0), F.col("confidence") + 0.3).alias("opacity"),
+        conf.alias("confidence"),
+        F.greatest(F.lit(2.0), conf * 4).alias("width"),
+        F.least(F.lit(1.0), conf + 0.3).alias("opacity"),
+        F.lit(EDGE_COLOR).alias("color"),
     )
 
 

@@ -78,11 +78,16 @@ def sessionize(
     key_col: str,
     ts_col: str,
     gap_seconds: int = 1800,
+    tie_break_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign gap-based session ids: a new session starts when the time
     since the key's previous event exceeds ``gap_seconds``. Adds
-    ``session_id`` (0-based per key, by time order). One shuffle."""
-    w = Window.partitionBy(key_col).orderBy(ts_col)
+    ``session_id`` (0-based per key, by time order). One shuffle.
+
+    ``tie_break_cols`` extend the window ORDER BY past the timestamp so
+    equal-ts rows order deterministically — required when the output is
+    compared row-for-row across engines (the driver's value-hash)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, *(tie_break_cols or []))
     secs = F.unix_timestamp(F.col(ts_col))  # floor-seconds; ANSI-safe
     gap = secs - F.lag(secs).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)

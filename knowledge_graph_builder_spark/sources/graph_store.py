@@ -7,12 +7,23 @@ Parquet-backed implementation with Iceberg-shaped semantics:
   union + row_number window over a monotonically increasing batch_seq.
 * ``clear_session`` — ``DETACH DELETE`` equivalent (graph_db.py:147-151):
   predicate rewrite of both tables.
-* writes are staged (write new state to a temp dir, atomically swap), so
-  a killed upsert never corrupts the table — the same write-then-commit
-  discipline as the pipeline checkpoints.
+
+Scale design — the tables are HASH-BUCKETED on the merge key
+(``bucket=K`` partition directories, xxhash64(key) % n_buckets):
+
+* an upsert reads and rewrites ONLY the buckets its batch touches, so
+  upsert cost scales with BATCH size, not STORE size (the prior
+  whole-table rewrite was O(store) per micro-batch — a 100 TB killer);
+* the batch sequence is an O(1) counter file, not a max() scan;
+* writes stay staged: merged buckets land in a staging dir, then each
+  touched bucket directory is atomically renamed into place. A crash
+  mid-swap leaves some buckets new and some old — the retry re-merges
+  the same batch content, and the keyed last-writer dedup makes that
+  VALUE-idempotent (same convergence argument the streaming BatchLedger
+  documents for a crash between upsert and mark).
 
 With an Iceberg catalog the same frames go through ``MERGE INTO`` and
-``DELETE FROM`` and the staging dance disappears; the key/dedup logic is
+``DELETE FROM`` and the bucket dance disappears; the key/dedup logic is
 identical, which is why it lives here and not in the sink.
 """
 
@@ -28,13 +39,17 @@ from pyspark.sql.window import Window
 
 
 class GraphStore:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 64):
         self.spark = spark
         self.root = root
+        self.n_buckets = n_buckets
         os.makedirs(root, exist_ok=True)
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
+
+    def _bucket_col(self, key_cols: list[str]):
+        return F.pmod(F.xxhash64(*key_cols), F.lit(self.n_buckets)).cast("int")
 
     def _read(self, table: str) -> DataFrame | None:
         p = self._path(table)
@@ -42,11 +57,15 @@ class GraphStore:
             return self.spark.read.parquet(p)
         return None
 
-    def _swap_in(self, df: DataFrame, table: str) -> None:
-        """Stage-then-swap: never leaves the table half-written."""
+    def _swap_in(self, df: DataFrame, table: str, partition_by: str | None = None) -> None:
+        """Stage-then-swap of the WHOLE table (first write / full rewrites
+        like clear_session): never leaves the table half-written."""
         final = self._path(table)
         staging = f"{final}._staging-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(staging)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(staging)
         old = f"{final}._old-{uuid.uuid4().hex[:8]}"
         if os.path.exists(final):
             os.rename(final, old)
@@ -54,27 +73,87 @@ class GraphStore:
         if os.path.exists(old):
             shutil.rmtree(old)
 
+    def _is_bucketed(self, table: str) -> bool:
+        p = self._path(table)
+        return os.path.exists(p) and any(e.startswith("_bucket=") for e in os.listdir(p))
+
     def _upsert(self, new: DataFrame, table: str, key_cols: list[str]) -> None:
         new = new.withColumn("_batch_seq", F.lit(self._next_seq(table)))
+        new = new.withColumn("_bucket", self._bucket_col(key_cols))
         existing = self._read(table)
-        merged = existing.unionByName(new) if existing is not None else new
+
+        if existing is not None and not self._is_bucketed(table):
+            # one-time migration of a legacy (unbucketed) table: full merge
+            # + full bucketed rewrite, after which upserts are incremental
+            if "_bucket" not in existing.columns:
+                existing = existing.withColumn("_bucket", self._bucket_col(key_cols))
+            merged = self._dedup(existing.unionByName(new), key_cols)
+            self._swap_in(merged, table, partition_by="_bucket")
+            return
+
+        if existing is None:
+            # within-batch duplicate keys still need the keyed dedup
+            self._swap_in(self._dedup(new, key_cols), table, partition_by="_bucket")
+            return
+
+        # incremental path: touch only the buckets present in this batch.
+        # The touched-bucket list is at most n_buckets rows — a driver-side
+        # collect of a bounded aggregate, never of data.
+        touched = sorted(
+            r["_bucket"] for r in new.select("_bucket").distinct().collect()
+        )
+        # partition pruning: the filter on the partition column means only
+        # the touched bucket directories are ever read
+        old_touched = existing.filter(F.col("_bucket").isin(touched))
+        merged = self._dedup(old_touched.unionByName(new), key_cols)
+
+        final = self._path(table)
+        staging = f"{final}._staging-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+        for b in touched:
+            src = os.path.join(staging, f"_bucket={b}")
+            dst = os.path.join(final, f"_bucket={b}")
+            if not os.path.exists(src):
+                continue  # defensive: a bucket emptied by dedup can't occur on upsert
+            old = f"{dst}._old-{uuid.uuid4().hex[:8]}"
+            if os.path.exists(dst):
+                os.rename(dst, old)
+            os.rename(src, dst)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        shutil.rmtree(staging)
+
+    def _dedup(self, merged: DataFrame, key_cols: list[str]) -> DataFrame:
         # tiebreak beyond _batch_seq: duplicate keys WITHIN one batch share
         # a seq, and row_number over a tied ordering picks a partition-
         # dependent winner — a deterministic whole-row hash keeps retries
         # and replans byte-identical.
-        row_hash = F.xxhash64(*[c for c in merged.columns if c != "_batch_seq"])
+        row_hash = F.xxhash64(*[c for c in merged.columns if c not in ("_batch_seq", "_bucket")])
         w = Window.partitionBy(*key_cols).orderBy(F.col("_batch_seq").desc(), row_hash.desc())
-        deduped = (
+        return (
             merged.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
         )
-        self._swap_in(deduped, table)
 
     def _next_seq(self, table: str) -> int:
-        existing = self._read(table)
-        if existing is None or "_batch_seq" not in existing.columns:
-            return 0
-        row = existing.agg(F.max("_batch_seq").alias("m")).collect()[0]
-        return int(row["m"] or 0) + 1
+        """O(1) monotone batch sequence from a counter file (write-then-
+        rename). The sequence is CLAIMED before the data write, so a crash
+        mid-upsert skips a number instead of reusing one."""
+        path = self._path(table) + ".seq"
+        seq = 0
+        if os.path.exists(path):
+            with open(path) as fh:
+                seq = int(fh.read().strip() or 0) + 1
+        else:
+            # legacy stores carried the sequence in the data; resume past it
+            existing = self._read(table)
+            if existing is not None and "_batch_seq" in existing.columns:
+                row = existing.agg(F.max("_batch_seq").alias("m")).collect()[0]
+                seq = int(row["m"] or 0) + 1
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(seq))
+        os.replace(tmp, path)
+        return seq
 
     # -- public API ------------------------------------------------------
 
@@ -88,21 +167,24 @@ class GraphStore:
 
     def nodes(self) -> DataFrame:
         df = self._read("nodes")
-        return df.drop("_batch_seq") if df is not None else None
+        return df.drop("_batch_seq", "_bucket") if df is not None else None
 
     def edges(self) -> DataFrame:
         df = self._read("edges")
-        return df.drop("_batch_seq") if df is not None else None
+        return df.drop("_batch_seq", "_bucket") if df is not None else None
 
     def clear_session(self, session_id: str) -> None:
-        """S8 — delete every node/edge of one session (graph_db.py:147-151)."""
+        """S8 — delete every node/edge of one session (graph_db.py:147-151).
+        A session can live in every bucket, so this is a full filtered
+        rewrite by construction (Iceberg: DELETE FROM ... WHERE)."""
         for table in ("nodes", "edges"):
             df = self._read(table)
             if df is not None:
                 # null-preserving predicate: a plain != would evaluate to
                 # NULL for rows with no session_id and silently delete them
                 keep = F.col("session_id").isNull() | (F.col("session_id") != session_id)
-                self._swap_in(df.filter(keep), table)
+                part = "_bucket" if "_bucket" in df.columns else None
+                self._swap_in(df.filter(keep), table, partition_by=part)
 
 
 class BatchLedger:

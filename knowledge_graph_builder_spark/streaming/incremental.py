@@ -144,30 +144,34 @@ def make_stateful_update(quiet_ms: int):
             state.remove()
             yield _assemble_and_extract(conv_id, list(turn_idxs), list(texts))
             return
-        turn_idxs, texts = [], []
+        pairs: list[tuple[int, str]] = []
         if state.exists:
             old = state.get
-            turn_idxs, texts = list(old[0]), list(old[1])
-        # state-size cap, enforced per ROW: the kernel discards everything
-        # past MAX_TEXT_LENGTH anyway, so a hot conversation must not grow
-        # keyed state (and state-store I/O) without bound — not even
-        # within a single large micro-batch. Past the cap, arriving turns
-        # only refresh the timeout.
-        held = sum(len(t) for t in texts) + len(texts)
+            pairs = list(zip(old[0], old[1]))
+        # state-size cap: the kernel discards everything past
+        # MAX_TEXT_LENGTH anyway, so a hot conversation must not grow
+        # keyed state (and state-store I/O) without bound. The cap keeps
+        # the LOWEST-turn_idx turns (sorted, ties by text — the same order
+        # batch assembly sorts by), retaining exactly the prefix the batch
+        # slice reads, so streamed output stays byte-identical to batch
+        # even when a low-idx turn arrives AFTER the cap was first hit.
         grew = False
         for pdf in pdfs:
-            if held > MAX_TEXT_LENGTH:
-                break
             for i, t in zip(pdf["turn_idx"], pdf["text"]):
-                if held > MAX_TEXT_LENGTH:
-                    break
-                t = "" if t is None else str(t)
-                turn_idxs.append(int(i))
-                texts.append(t)
-                held += len(t) + 1
+                pairs.append((int(i), "" if t is None else str(t)))
                 grew = True
         if grew:
-            state.update((turn_idxs, texts))
+            pairs.sort()
+            kept_idx: list[int] = []
+            kept_txt: list[str] = []
+            held = 0
+            for i, t in pairs:
+                if held > MAX_TEXT_LENGTH:
+                    break  # the turn CROSSING the cap is kept (partial slice)
+                kept_idx.append(i)
+                kept_txt.append(t)
+                held += len(t) + 1
+            state.update((kept_idx, kept_txt))
         state.setTimeoutDuration(quiet_ms)
         yield pd.DataFrame(columns=_KERNEL_COLS)
 

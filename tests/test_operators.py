@@ -208,3 +208,106 @@ def test_pagerank_star_and_normalization(spark):
     assert ranks["s1"] == ranks["s2"] == ranks["s3"] < ranks["hub"]
     # dangling redistribution keeps the distribution normalized
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+
+def test_graph_store_bucketed_upsert_leaves_untouched_buckets_byte_identical(spark, tmp_path):
+    """Scale contract: an upsert rewrites ONLY the hash buckets its batch
+    touches — cost scales with batch size, not store size."""
+    import glob
+    import hashlib
+    import os
+
+    root = str(tmp_path / "g")
+    store = GraphStore(spark, root, n_buckets=8)
+    nodes = spark.range(64).selectExpr(
+        "concat('n', id) AS name", "'ORG' AS type", "'s1' AS session_id"
+    )
+    store.upsert_nodes(nodes)
+
+    def bucket_state():
+        out = {}
+        for bdir in glob.glob(f"{root}/nodes/_bucket=*"):
+            h = hashlib.md5()
+            for f in sorted(glob.glob(bdir + "/*")):
+                with open(f, "rb") as fh:
+                    h.update(os.path.basename(f).encode())
+                    h.update(fh.read())
+            out[os.path.basename(bdir)] = h.hexdigest()
+        return out
+
+    before = bucket_state()
+    assert len(before) > 1  # keys actually spread over buckets
+    one = spark.createDataFrame([("n3", "ORG", "s2")], "name string, type string, session_id string")
+    store.upsert_nodes(one)
+    after = bucket_state()
+
+    changed = {k for k in before if before[k] != after.get(k)}
+    assert len(changed) == 1  # exactly the batch's bucket was rewritten
+    out = store.nodes()
+    assert out.count() == 64  # MERGE, not append
+    assert out.filter("name = 'n3'").collect()[0]["session_id"] == "s2"  # last writer
+    assert out.filter("name = 'n5'").collect()[0]["session_id"] == "s1"  # untouched
+
+
+def test_graph_store_legacy_table_migrates_to_buckets(spark, tmp_path):
+    """A round-1 (unbucketed) store upgrades in place on first upsert."""
+    root = str(tmp_path / "g")
+    legacy = spark.createDataFrame(
+        [("Apple", "ORG", "s1", 0)], "name string, type string, session_id string, _batch_seq int"
+    )
+    legacy.write.parquet(f"{root}/nodes")
+    store = GraphStore(spark, root, n_buckets=8)
+    store.upsert_nodes(
+        spark.createDataFrame([("MSFT", "ORG", "s1")], "name string, type string, session_id string")
+    )
+    rows = {r.name: r.session_id for r in store.nodes().collect()}
+    assert rows == {"Apple": "s1", "MSFT": "s1"}
+    import glob
+
+    assert glob.glob(f"{root}/nodes/_bucket=*")  # now bucketed
+
+
+def test_viz_color_map_matches_reference(spark):
+    """Q2 colors must equal reference graph_db.py:205-219 exactly."""
+    from knowledge_graph_builder_spark.operators.graph import (
+        EDGE_COLOR,
+        ENTITY_DEFAULT_COLOR,
+        EVENT_DEFAULT_COLOR,
+        TYPE_COLORS,
+        viz_nodes,
+    )
+
+    assert TYPE_COLORS == {
+        "PERSON": "#3b82f6",
+        "ORG": "#10b981",
+        "GPE": "#f59e0b",
+        "PRODUCT": "#8b5cf6",
+        "FAC": "#06b6d4",
+        "WORK_OF_ART": "#a855f7",
+        "Acquisition": "#fbbf24",
+        "ProductLaunch": "#ec4899",
+        "LeadershipChange": "#f59e0b",
+        "Conference": "#8b5cf6",
+        "FundingRound": "#10b981",
+        "Other": "#6b7280",
+    }
+    assert (ENTITY_DEFAULT_COLOR, EVENT_DEFAULT_COLOR, EDGE_COLOR) == (
+        "#6b7280", "#fbbf24", "#64748b",
+    )
+
+    nodes = spark.createDataFrame(
+        [("Apple", "ORG", "s"), ("Mona Lisa", "WORK_OF_ART", "s"), ("X", "LAW", "s")],
+        "name string, type string, source_sentence string",
+    )
+    events = spark.createDataFrame(
+        [("Apple acquires Beats", "Acquisition", "2014", None, "ctx"),
+         ("Weird thing", "NewType", None, None, None)],
+        "name string, event_type string, date string, amount string, context string",
+    )
+    out = {r.id: (r.group, r.color, r.shape) for r in viz_nodes(nodes, events).collect()}
+    assert out["Apple"] == ("ORG", "#10b981", "dot")
+    assert out["Mona Lisa"] == ("WORK_OF_ART", "#a855f7", "dot")
+    assert out["X"] == ("LAW", "#6b7280", "dot")  # entity fallback
+    # events group by EVENT TYPE (not a generic "Event"), diamond shape
+    assert out["Apple acquires Beats"] == ("Acquisition", "#fbbf24", "diamond")
+    assert out["Weird thing"] == ("NewType", "#fbbf24", "diamond")  # event fallback
