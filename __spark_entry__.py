@@ -502,6 +502,30 @@ def _q_ntile(spark, sf_dir):
     )
 
 
+def _q_quartile_bands(spark, sf_dir):
+    # the 100 TB-honest companion to ntile_quartiles: quartile bands from a
+    # VALUE HISTOGRAM instead of a per-row global sort. The only window
+    # runs over the distinct quantity values (ndv-bounded, here 50 rows)
+    # after a partial-aggregable count; the grand total arrives by
+    # broadcast. Per-row cost is one hash-agg — no single-reducer stage
+    # touches row-scale data.
+    li = _t(spark, sf_dir, "lineitem")
+    hist = li.groupBy(F.col("l_quantity").alias("q")).agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
+        F.broadcast(li.agg(F.count("*").alias("total")))
+    )
+    band = F.least(F.lit(4), F.ceil(F.lit(4) * F.col("cum") / F.col("total"))).cast("long")
+    return (
+        cum.groupBy(band.alias("band"))
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.round(F.min("q"), 2).alias("min_qty"),
+            F.round(F.max("q"), 2).alias("max_qty"),
+        )
+    )
+
+
 def _q_corr_stats(spark, sf_dir):
     # statistical aggregates: correlation / sample stddev / sample covar
     li = _t(spark, sf_dir, "lineitem")
@@ -808,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_gaps": _q_event_gaps,
         "cube_agg": _q_cube,
         "ntile_quartiles": _q_ntile,
+        "quartile_bands": _q_quartile_bands,
         "corr_stats": _q_corr_stats,
         "month_rollup": _q_month_rollup,
         "doc_quality": _q_doc_quality,
@@ -1133,6 +1158,22 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             )
             GROUP BY quartile
+        """,
+        "quartile_bands": """
+            WITH h AS (
+              SELECT l_quantity AS q, count(*) AS cnt FROM lineitem GROUP BY 1
+            ),
+            c AS (
+              SELECT q, cnt,
+                     sum(cnt) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS cum,
+                     (SELECT count(*) FROM lineitem) AS total
+              FROM h
+            )
+            SELECT least(4, ceil(4.0 * cum / total))::BIGINT AS band,
+                   sum(cnt)::BIGINT AS n,
+                   round(min(q), 2) AS min_qty,
+                   round(max(q), 2) AS max_qty
+            FROM c GROUP BY 1
         """,
         "corr_stats": """
             SELECT l_returnflag,
