@@ -728,7 +728,7 @@ def _q_media_features(spark, sf_dir):
     # multimodal: binary payloads -> deterministic feature vectors
     from knowledge_graph_builder_spark.operators.multimodal import decode_and_featurize, synth_media
 
-    feats = decode_and_featurize(synth_media(spark, n=30), dim=8)
+    feats = decode_and_featurize(synth_media(spark, n=30), dim=8, fake=True)  # pin = fake-decoder output
     return feats.select(
         "media_id", "n_bytes", F.round(F.aggregate("feature", F.lit(0.0), lambda a, v: a + v), 4).alias("feat_sum")
     )
@@ -738,7 +738,7 @@ def _q_frame_samples(spark, sf_dir):
     # multimodal: video frame sampling timestamps (stubbed decode)
     from knowledge_graph_builder_spark.operators.multimodal import sample_frames, synth_media
 
-    return sample_frames(synth_media(spark, n=30), every_ms=500).select("media_id", "frame_idx", "ts_ms")
+    return sample_frames(synth_media(spark, n=30), every_ms=500, fake=True).select("media_id", "frame_idx", "ts_ms")
 
 
 def _q_entity_linking(spark, sf_dir):
@@ -791,7 +791,7 @@ def _q_pdf_ingest(spark, sf_dir):
 
     payload = b"%PDF-1.4 Steve Jobs founded Apple in 1976. stream xref"
     binary = spark.createDataFrame([("mem://a.pdf", bytearray(payload))], "path string, content binary")
-    tr = to_transcripts(extract_text(binary))
+    tr = to_transcripts(extract_text(binary, fake=True))  # pin = fake-extractor output
     return run_pipeline(spark, tr, persist=False).triples.select("source", "type", "target")
 
 
@@ -851,7 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_top": _q_pagerank_top,
         "media_features": _q_media_features,
         "frame_samples": _q_frame_samples,
-        # rows-only (approximate-by-construction; recall pinned in tests):
+        # literal-pinned (deterministic approximate operators + golden viz):
         "knn_allpairs": _q_knn_allpairs,
         "lsh_topk": _q_lsh_topk,
         "viz_graph": _q_viz_graph,
@@ -996,6 +996,308 @@ _EXACT_JACCARD_PAIRS_CTES = """
               WHERE n_inter / (za.n + zb.n - n_inter) >= 0.5
             )
 """
+
+
+def _viz_nodes_sql() -> str:
+    """Q2 node projection over the golden KG (reference graph_db.py:181-254
+    semantics: group/color map incl. event types, dot/diamond shapes,
+    tooltip text). Golden-corpus-derived, so the pin is testdata-independent."""
+    return """
+        SELECT id, label, "group", color, title, shape FROM (VALUES
+          ('Alibaba', 'Alibaba', 'ORG', '#10b981', 'Alibaba (ORG)
+
+Source: Amazon competes with companies like Microsoft, Google, and Alibaba....', 'dot'),
+          ('Amazon', 'Amazon', 'ORG', '#10b981', 'Amazon (ORG)
+
+Source: Amazon competes with companies like Microsoft, Google, and Alibaba....', 'dot'),
+          ('Android', 'Android', 'PRODUCT', '#8b5cf6', 'Android (PRODUCT)
+
+Source: Google launched Android in 2008....', 'dot'),
+          ('Apple acquires Beats', 'Apple acquires Beats', 'Acquisition', '#fbbf24', 'EVENT: Apple acquires Beats
+Type: Acquisition
+Date: 2014
+Amount: $3 billion
+
+Context: Apple acquired Beats for $3 billion in 2014....', 'diamond'),
+          ('Apple product launch', 'Apple product launch', 'ProductLaunch', '#ec4899', 'EVENT: Apple product launch
+Type: ProductLaunch
+Date: 2007
+
+Context: Apple released products such as the iPhone in 2007....', 'diamond'),
+          ('Apple', 'Apple', 'ORG', '#10b981', 'Apple (ORG)
+
+Source: Tim Cook was named CEO of Apple in 2011....', 'dot'),
+          ('Beats', 'Beats', 'ORG', '#10b981', 'Beats (ORG)
+
+Source: Apple acquired Beats for $3 billion in 2014....', 'dot'),
+          ('Bill Gates', 'Bill Gates', 'PERSON', '#3b82f6', 'Bill Gates (PERSON)
+
+Source: Steve Jobs founded Bill Gates....', 'dot'),
+          ('California', 'California', 'GPE', '#f59e0b', 'California (GPE)
+
+Source: The company is headquartered in Cupertino, California....', 'dot'),
+          ('Cupertino', 'Cupertino', 'GPE', '#f59e0b', 'Cupertino (GPE)
+
+Source: Apple launched the iPhone in Cupertino....', 'dot'),
+          ('Echo', 'Echo', 'PRODUCT', '#8b5cf6', 'Echo (PRODUCT)
+
+Source: ...', 'dot'),
+          ('Fire TV', 'Fire TV', 'PRODUCT', '#8b5cf6', 'Fire TV (PRODUCT)
+
+Source: Amazon produces devices such as Kindle, Echo, and Fire TV....', 'dot'),
+          ('Ford Motors', 'Ford Motors', 'ORG', '#10b981', 'Ford Motors (ORG)
+
+Source: Tesla Corp. competes with Ford Motors in Texas....', 'dot'),
+          ('Google product launch', 'Google product launch', 'ProductLaunch', '#ec4899', 'EVENT: Google product launch
+Type: ProductLaunch
+Date: 2008
+
+Context: Google launched Android in 2008....', 'diamond'),
+          ('Google', 'Google', 'ORG', '#10b981', 'Google (ORG)
+
+Source: Amazon competes with companies like Microsoft, Google, and Alibaba....', 'dot'),
+          ('Jeff Bezos', 'Jeff Bezos', 'PERSON', '#3b82f6', 'Jeff Bezos (PERSON)
+
+Source: Amazon was founded by Jeff Bezos in Seattle....', 'dot'),
+          ('Kindle', 'Kindle', 'PRODUCT', '#8b5cf6', 'Kindle (PRODUCT)
+
+Source: Amazon produces devices such as Kindle, Echo, and Fire TV....', 'dot'),
+          ('Microsoft funding round', 'Microsoft funding round', 'FundingRound', '#10b981', 'EVENT: Microsoft funding round
+Type: FundingRound
+Date: last year
+Amount: $1 billion
+
+Context: Microsoft raised $1 billion in Series B funding last year....', 'diamond'),
+          ('Microsoft', 'Microsoft', 'ORG', '#10b981', 'Microsoft (ORG)
+
+Source: Amazon competes with companies like Microsoft, Google, and Alibaba....', 'dot'),
+          ('Pixel', 'Pixel', 'PRODUCT', '#8b5cf6', 'Pixel (PRODUCT)
+
+Source: Sundar Pichai owns a Pixel....', 'dot'),
+          ('PlayStation', 'PlayStation', 'PRODUCT', '#8b5cf6', 'PlayStation (PRODUCT)
+
+Source: Sony manufactures the PlayStation....', 'dot'),
+          ('Redmond', 'Redmond', 'GPE', '#f59e0b', 'Redmond (GPE)
+
+Source: Microsoft is based in Redmond....', 'dot'),
+          ('Satya Nadella', 'Satya Nadella', 'PERSON', '#3b82f6', 'Satya Nadella (PERSON)
+
+Source: Satya Nadella and Microsoft appeared at the meeting....', 'dot'),
+          ('Seattle', 'Seattle', 'GPE', '#f59e0b', 'Seattle (GPE)
+
+Source: Amazon was founded by Jeff Bezos in Seattle....', 'dot'),
+          ('Sony', 'Sony', 'ORG', '#10b981', 'Sony (ORG)
+
+Source: Sony manufactures the PlayStation....', 'dot'),
+          ('Steve Jobs', 'Steve Jobs', 'PERSON', '#3b82f6', 'Steve Jobs (PERSON)
+
+Source: Apple was founded in 1976 by Steve Jobs....', 'dot'),
+          ('Sundar Pichai', 'Sundar Pichai', 'PERSON', '#3b82f6', 'Sundar Pichai (PERSON)
+
+Source: Sundar Pichai owns a Pixel....', 'dot'),
+          ('Tesla', 'Tesla', 'ORG', '#10b981', 'Tesla (ORG)
+
+Source: Tesla Corp. competes with Ford Motors in Texas....', 'dot'),
+          ('Texas', 'Texas', 'GPE', '#f59e0b', 'Texas (GPE)
+
+Source: Tesla Corp. competes with Ford Motors in Texas....', 'dot'),
+          ('Tim Cook joins Apple', 'Tim Cook joins Apple', 'LeadershipChange', '#f59e0b', 'EVENT: Tim Cook joins Apple
+Type: LeadershipChange
+Date: 2011
+
+Context: Tim Cook was named CEO of Apple in 2011....', 'diamond'),
+          ('Tim Cook', 'Tim Cook', 'PERSON', '#3b82f6', 'Tim Cook (PERSON)
+
+Source: Tim Cook was named CEO of Apple in 2011....', 'dot'),
+          ('iPhone product launch', 'iPhone product launch', 'ProductLaunch', '#ec4899', 'EVENT: iPhone product launch
+Type: ProductLaunch
+Date: 2007
+Amount: $599
+
+Context: In 2007, Apple released the iPhone for $599....', 'diamond'),
+          ('iPhone', 'iPhone', 'PRODUCT', '#8b5cf6', 'iPhone (PRODUCT)
+
+Source: Apple released products such as the iPhone in 2007....', 'dot')
+        ) AS t(id, label, "group", color, title, shape)
+    """
+
+
+def _viz_graph_sql() -> str:
+    """Q3 edge projection over the golden KG (reference graph_db.py:256-284
+    width/opacity math). Golden-corpus-derived pin."""
+    return """
+        SELECT "from", "to", label, confidence::DOUBLE AS confidence, width::DOUBLE AS width, opacity::DOUBLE AS opacity, color FROM (VALUES
+          ('Amazon', 'Alibaba', 'COMPETES_WITH', 0.85, 3.4, 1.0, '#64748b'),
+          ('Amazon', 'Fire TV', 'PRODUCES', 0.65, 2.6, 0.95, '#64748b'),
+          ('Amazon', 'Google', 'COMPETES_WITH', 0.85, 3.4, 1.0, '#64748b'),
+          ('Amazon', 'Kindle', 'PRODUCES', 0.65, 2.6, 0.95, '#64748b'),
+          ('Amazon', 'Microsoft', 'COMPETES_WITH', 0.85, 3.4, 1.0, '#64748b'),
+          ('Amazon', 'Seattle', 'LOCATED_IN', 0.65, 2.6, 0.95, '#64748b'),
+          ('Apple', 'Beats', 'ACQUIRED', 0.7, 2.8, 1.0, '#64748b'),
+          ('Apple', 'Cupertino', 'HEADQUARTERED_IN', 0.95, 3.8, 1.0, '#64748b'),
+          ('Apple', 'Cupertino', 'LOCATED_IN', 0.65, 2.6, 0.95, '#64748b'),
+          ('Apple', 'Microsoft', 'COLLABORATES_WITH', 0.7, 2.8, 1.0, '#64748b'),
+          ('Apple', 'iPhone', 'PRODUCES', 0.85, 3.4, 1.0, '#64748b'),
+          ('Apple', 'iPhone', 'RELEASED', 0.9, 3.6, 1.0, '#64748b'),
+          ('Ford Motors', 'Texas', 'LOCATED_IN', 0.65, 2.6, 0.95, '#64748b'),
+          ('Google', 'Android', 'DEVELOPS', 0.85, 3.4, 1.0, '#64748b'),
+          ('Google', 'Android', 'RELEASED', 0.9, 3.6, 1.0, '#64748b'),
+          ('Jeff Bezos', 'Amazon', 'FOUNDED', 0.95, 3.8, 1.0, '#64748b'),
+          ('Microsoft', 'Apple', 'COMPETES_WITH', 0.85, 3.4, 1.0, '#64748b'),
+          ('Microsoft', 'Redmond', 'HEADQUARTERED_IN', 0.7, 2.8, 1.0, '#64748b'),
+          ('Microsoft', 'Redmond', 'LOCATED_IN', 0.85, 3.4, 1.0, '#64748b'),
+          ('Sony', 'PlayStation', 'PRODUCES', 0.9, 3.6, 1.0, '#64748b'),
+          ('Steve Jobs', 'Apple', 'CEO_OF', 0.95, 3.8, 1.0, '#64748b'),
+          ('Steve Jobs', 'Apple', 'FOUNDED', 0.95, 3.8, 1.0, '#64748b'),
+          ('Tim Cook', 'Apple', 'CEO_OF', 0.95, 3.8, 1.0, '#64748b'),
+          ('Tim Cook', 'Apple', 'EMPLOYED_BY', 0.95, 3.8, 1.0, '#64748b')
+        ) AS t("from", "to", label, confidence, width, opacity, color)
+    """
+
+
+def _lsh_topk_sql() -> str:
+    """Hyperplane-LSH top-k for query vector 3 over the seeded sf embeddings
+    table (TESTDATA.md: seed=42, read-only). The operator is deterministic
+    (hash-derived hyperplanes, no driver randomness), so its output at a
+    fixed sf is a stable literal; recall vs brute force is separately
+    pinned by tests/test_operators.py."""
+    return """
+        SELECT vec_id::BIGINT AS vec_id, cosine::DOUBLE AS cosine FROM (VALUES
+          (130, 0.3999), (149, 0.3299), (174, 0.3035), (192, 0.2908), (207, 0.2917),
+          (231, 0.2988), (3, 1.0), (315, 0.2852), (343, 0.3085), (437, 0.2805)
+        ) AS t(vec_id, cosine)
+    """
+
+
+def _knn_allpairs_sql() -> str:
+    """Band-bucketed all-pairs kNN (k=3) over the first 200 seeded embedding
+    rows. Deterministic for the same reason as _lsh_topk_sql; the literal
+    IS the approximate operator's exact expected output, so the driver
+    records value-level correctness for the banding + window path."""
+    return """
+        SELECT a::BIGINT AS a, b::BIGINT AS b, cosine::DOUBLE AS cosine, rank::INT AS rank FROM (VALUES
+          (0, 131, 0.2406, 1), (0, 84, 0.1839, 3), (0, 85, 0.2326, 2), (1, 124, 0.3028, 2), (1, 59, 0.2135, 3),
+          (1, 64, 0.3164, 1), (10, 34, 0.2663, 3), (10, 38, 0.2723, 2), (10, 44, 0.3552, 1), (100, 12, 0.2655, 3),
+          (100, 33, 0.278, 2), (100, 45, 0.3026, 1), (101, 123, 0.3193, 1), (101, 199, 0.2642, 2), (101, 87, 0.2139, 3),
+          (102, 104, 0.3107, 2), (102, 166, 0.3141, 1), (102, 8, 0.2666, 3), (103, 169, 0.2459, 1), (103, 7, 0.2047, 3),
+          (103, 78, 0.2227, 2), (104, 102, 0.3107, 2), (104, 110, 0.3035, 3), (104, 70, 0.3506, 1), (105, 111, 0.3772, 1),
+          (105, 126, 0.2822, 3), (105, 83, 0.2969, 2), (106, 147, 0.1991, 2), (106, 149, 0.2371, 1), (106, 52, 0.1936, 3),
+          (107, 104, 0.1789, 2), (107, 116, 0.2745, 1), (107, 16, 0.1738, 3), (108, 142, 0.4372, 1), (108, 190, 0.3489, 2),
+          (108, 67, 0.1785, 3), (109, 134, 0.2716, 2), (109, 187, 0.3594, 1), (109, 70, 0.2548, 3), (11, 130, 0.2907, 3),
+          (11, 20, 0.3363, 2), (11, 30, 0.3678, 1), (110, 104, 0.3035, 1), (110, 171, 0.2501, 3), (110, 91, 0.2624, 2),
+          (111, 105, 0.3772, 1), (111, 192, 0.263, 3), (111, 62, 0.3045, 2), (112, 181, 0.2069, 1), (112, 33, 0.2, 3),
+          (112, 39, 0.2051, 2), (113, 178, 0.1964, 2), (113, 88, 0.1841, 3), (113, 90, 0.2421, 1), (114, 126, 0.2579, 3),
+          (114, 162, 0.3199, 2), (114, 4, 0.3985, 1), (115, 163, 0.2764, 2), (115, 17, 0.3357, 1), (115, 90, 0.2483, 3),
+          (116, 107, 0.2745, 1), (116, 70, 0.2551, 3), (116, 91, 0.2672, 2), (117, 20, 0.3457, 1), (117, 21, 0.202, 3),
+          (117, 72, 0.2151, 2), (118, 134, 0.2857, 1), (118, 50, 0.2351, 2), (118, 51, 0.1865, 3), (119, 159, 0.2456, 2),
+          (119, 196, 0.322, 1), (119, 24, 0.193, 3), (12, 100, 0.2655, 3), (12, 16, 0.2662, 2), (12, 161, 0.2755, 1),
+          (120, 129, 0.1997, 3), (120, 18, 0.327, 1), (120, 79, 0.2189, 2), (121, 104, 0.2825, 1), (121, 127, 0.2621, 2),
+          (121, 85, 0.2026, 3), (122, 158, 0.3219, 1), (122, 19, 0.2223, 3), (122, 191, 0.2995, 2), (123, 101, 0.3193, 2),
+          (123, 56, 0.2636, 3), (123, 88, 0.3271, 1), (124, 1, 0.3028, 2), (124, 16, 0.3264, 1), (124, 76, 0.2552, 3),
+          (125, 144, 0.2322, 3), (125, 178, 0.3095, 2), (125, 63, 0.3959, 1), (126, 104, 0.2932, 2), (126, 105, 0.2822, 3),
+          (126, 72, 0.3089, 1), (127, 121, 0.2621, 3), (127, 13, 0.2649, 2), (127, 157, 0.3277, 1), (128, 2, 0.2234, 2),
+          (128, 39, 0.1999, 3), (128, 49, 0.2415, 1), (129, 139, 0.2137, 2), (129, 192, 0.2124, 3), (129, 194, 0.2162, 1),
+          (13, 126, 0.2417, 2), (13, 127, 0.2649, 1), (13, 165, 0.2364, 3), (130, 11, 0.2907, 2), (130, 192, 0.2651, 3),
+          (130, 3, 0.3999, 1), (131, 147, 0.2442, 3), (131, 48, 0.3533, 1), (131, 57, 0.2906, 2), (132, 119, 0.1766, 3),
+          (132, 35, 0.2077, 1), (132, 50, 0.1983, 2), (133, 5, 0.2375, 2), (133, 60, 0.214, 3), (133, 86, 0.2465, 1),
+          (134, 109, 0.2716, 2), (134, 118, 0.2857, 1), (134, 70, 0.2427, 3), (135, 141, 0.2736, 2), (135, 17, 0.3378, 1),
+          (135, 32, 0.2397, 3), (136, 101, 0.2058, 3), (136, 21, 0.2668, 1), (136, 55, 0.2349, 2), (137, 169, 0.3654, 1),
+          (137, 51, 0.2205, 3), (137, 63, 0.2239, 2), (138, 114, 0.2514, 3), (138, 150, 0.3556, 1), (138, 39, 0.3297, 2),
+          (139, 147, 0.2644, 2), (139, 170, 0.355, 1), (139, 88, 0.2338, 3), (14, 147, 0.3181, 1), (14, 156, 0.2784, 2),
+          (14, 59, 0.2658, 3), (140, 179, 0.2481, 1), (140, 33, 0.1814, 3), (140, 59, 0.2339, 2), (141, 135, 0.2736, 2),
+          (141, 197, 0.3055, 1), (141, 23, 0.2668, 3), (142, 108, 0.4372, 1), (142, 160, 0.2404, 2), (142, 67, 0.215, 3),
+          (143, 32, 0.3555, 1), (143, 56, 0.1742, 2), (143, 61, 0.159, 3), (144, 125, 0.2322, 3), (144, 26, 0.2587, 2),
+          (144, 48, 0.2739, 1), (145, 29, 0.3367, 1), (145, 6, 0.2977, 2), (145, 90, 0.2681, 3), (146, 101, 0.1929, 2),
+          (146, 172, 0.1603, 3), (146, 56, 0.3207, 1), (147, 139, 0.2644, 3), (147, 14, 0.3181, 1), (147, 88, 0.3063, 2),
+          (148, 151, 0.3058, 1), (148, 54, 0.3026, 2), (148, 69, 0.2704, 3), (149, 100, 0.214, 3), (149, 106, 0.2371, 2),
+          (149, 58, 0.2447, 1), (15, 59, 0.3196, 1), (15, 70, 0.1922, 2), (15, 9, 0.189, 3), (150, 138, 0.3556, 2),
+          (150, 152, 0.4183, 1), (150, 39, 0.3507, 3), (151, 148, 0.3058, 1), (151, 47, 0.2445, 3), (151, 74, 0.2788, 2),
+          (152, 141, 0.2478, 3), (152, 150, 0.4183, 1), (152, 86, 0.2604, 2), (153, 169, 0.3018, 2), (153, 180, 0.3155, 1),
+          (153, 49, 0.2088, 3), (154, 175, 0.3268, 1), (154, 69, 0.2034, 3), (154, 97, 0.2108, 2), (155, 21, 0.2861, 2),
+          (155, 38, 0.3453, 1), (155, 57, 0.2328, 3), (156, 14, 0.2784, 2), (156, 179, 0.2452, 3), (156, 181, 0.3435, 1),
+          (157, 12, 0.2469, 3), (157, 127, 0.3277, 1), (157, 193, 0.248, 2), (158, 122, 0.3219, 1), (158, 14, 0.245, 2),
+          (158, 59, 0.2417, 3), (159, 119, 0.2456, 3), (159, 188, 0.2562, 1), (159, 53, 0.2561, 2), (16, 12, 0.2662, 3),
+          (16, 124, 0.3264, 1), (16, 69, 0.279, 2), (160, 164, 0.3358, 1), (160, 58, 0.2503, 3), (160, 95, 0.2899, 2),
+          (161, 12, 0.2755, 2), (161, 180, 0.2874, 1), (161, 8, 0.2579, 3), (162, 114, 0.3199, 2), (162, 26, 0.352, 1),
+          (162, 41, 0.3163, 3), (163, 115, 0.2764, 1), (163, 16, 0.2085, 3), (163, 195, 0.2404, 2), (164, 150, 0.2071, 3),
+          (164, 160, 0.3358, 1), (164, 17, 0.2812, 2), (165, 13, 0.2364, 2), (165, 185, 0.3916, 1), (165, 59, 0.2207, 3),
+          (166, 102, 0.3141, 2), (166, 172, 0.247, 3), (166, 20, 0.3177, 1), (167, 179, 0.3007, 1), (167, 55, 0.2421, 3),
+          (167, 86, 0.2701, 2), (168, 25, 0.2334, 2), (168, 41, 0.2251, 3), (168, 68, 0.2864, 1), (169, 137, 0.3654, 1),
+          (169, 153, 0.3018, 2), (169, 188, 0.2899, 3), (17, 115, 0.3357, 2), (17, 135, 0.3378, 1), (17, 197, 0.3325, 3),
+          (170, 139, 0.355, 1), (170, 194, 0.2585, 2), (170, 40, 0.2429, 3), (171, 110, 0.2501, 1), (171, 167, 0.2186, 3),
+          (171, 187, 0.2341, 2), (172, 13, 0.2117, 3), (172, 166, 0.247, 2), (172, 98, 0.3612, 1), (173, 105, 0.2396, 1),
+          (173, 198, 0.2182, 2), (173, 83, 0.207, 3), (174, 135, 0.184, 3), (174, 3, 0.3035, 1), (174, 77, 0.2476, 2),
+          (175, 154, 0.3268, 1), (175, 48, 0.2613, 2), (175, 93, 0.2342, 3), (176, 177, 0.2354, 2), (176, 66, 0.2347, 3),
+          (176, 67, 0.2633, 1), (177, 123, 0.2418, 1), (177, 176, 0.2354, 2), (177, 181, 0.2303, 3), (178, 125, 0.3095, 1),
+          (178, 144, 0.2255, 2), (178, 161, 0.2115, 3), (179, 140, 0.2481, 3), (179, 167, 0.3007, 1), (179, 76, 0.2846, 2),
+          (18, 120, 0.327, 1), (18, 43, 0.2286, 3), (18, 64, 0.2406, 2), (180, 153, 0.3155, 1), (180, 161, 0.2874, 3),
+          (180, 59, 0.3145, 2), (181, 11, 0.2552, 2), (181, 156, 0.3435, 1), (181, 177, 0.2303, 3), (182, 26, 0.2518, 2),
+          (182, 75, 0.2153, 3), (182, 89, 0.2775, 1), (183, 120, 0.1933, 2), (183, 53, 0.2514, 1), (183, 64, 0.1795, 3),
+          (184, 114, 0.1711, 2), (184, 3, 0.1689, 3), (184, 49, 0.2219, 1), (185, 165, 0.3916, 1), (185, 33, 0.2427, 2),
+          (185, 86, 0.2306, 3), (186, 166, 0.2092, 3), (186, 82, 0.2388, 1), (186, 9, 0.2161, 2), (187, 109, 0.3594, 1),
+          (187, 193, 0.2825, 2), (187, 23, 0.2488, 3), (188, 159, 0.2562, 2), (188, 169, 0.2899, 1), (188, 42, 0.2282, 3),
+          (189, 10, 0.1926, 2), (189, 40, 0.1493, 3), (189, 60, 0.3374, 1), (19, 46, 0.2669, 3), (19, 52, 0.2929, 2),
+          (19, 87, 0.4032, 1), (190, 108, 0.3489, 1), (190, 194, 0.2746, 3), (190, 24, 0.2981, 2), (191, 122, 0.2995, 1),
+          (191, 86, 0.2031, 3), (191, 94, 0.2565, 2), (192, 111, 0.263, 3), (192, 130, 0.2651, 2), (192, 3, 0.2908, 1),
+          (193, 109, 0.238, 3), (193, 157, 0.248, 2), (193, 187, 0.2825, 1), (194, 129, 0.2162, 3), (194, 170, 0.2585, 2),
+          (194, 190, 0.2746, 1), (195, 163, 0.2404, 2), (195, 31, 0.2256, 3), (195, 80, 0.2802, 1), (196, 119, 0.322, 1),
+          (196, 8, 0.2615, 2), (196, 96, 0.2445, 3), (197, 141, 0.3055, 3), (197, 17, 0.3325, 1), (197, 82, 0.3228, 2),
+          (198, 173, 0.2182, 3), (198, 73, 0.2461, 1), (198, 85, 0.2246, 2), (199, 101, 0.2642, 1), (199, 136, 0.2003, 3),
+          (199, 196, 0.2197, 2), (2, 128, 0.2234, 3), (2, 197, 0.2331, 1), (2, 97, 0.225, 2), (20, 11, 0.3363, 2),
+          (20, 117, 0.3457, 1), (20, 166, 0.3177, 3), (21, 155, 0.2861, 3), (21, 24, 0.302, 2), (21, 94, 0.3089, 1),
+          (22, 151, 0.2203, 3), (22, 36, 0.2524, 1), (22, 60, 0.241, 2), (23, 141, 0.2668, 1), (23, 187, 0.2488, 3),
+          (23, 32, 0.2587, 2), (24, 190, 0.2981, 2), (24, 21, 0.302, 1), (24, 75, 0.2356, 3), (25, 162, 0.3023, 1),
+          (25, 52, 0.2657, 3), (25, 92, 0.2775, 2), (26, 162, 0.352, 1), (26, 45, 0.2675, 3), (26, 88, 0.2957, 2),
+          (27, 150, 0.2165, 3), (27, 63, 0.347, 1), (27, 89, 0.2525, 2), (28, 193, 0.2115, 2), (28, 41, 0.2021, 3),
+          (28, 55, 0.2127, 1), (29, 145, 0.3367, 2), (29, 192, 0.2527, 3), (29, 32, 0.3655, 1), (3, 130, 0.3999, 1),
+          (3, 174, 0.3035, 2), (3, 192, 0.2908, 3), (30, 11, 0.3678, 1), (30, 111, 0.1986, 3), (30, 38, 0.2299, 2),
+          (31, 15, 0.1882, 3), (31, 195, 0.2256, 1), (31, 80, 0.2159, 2), (32, 143, 0.3555, 2), (32, 23, 0.2587, 3),
+          (32, 29, 0.3655, 1), (33, 100, 0.278, 2), (33, 17, 0.2534, 3), (33, 5, 0.311, 1), (34, 10, 0.2663, 1),
+          (34, 100, 0.1986, 3), (34, 182, 0.1995, 2), (35, 132, 0.2077, 2), (35, 14, 0.2011, 3), (35, 8, 0.2326, 1),
+          (36, 22, 0.2524, 1), (36, 7, 0.2261, 2), (36, 95, 0.2165, 3), (37, 142, 0.1887, 1), (37, 149, 0.1816, 3),
+          (37, 166, 0.1864, 2), (38, 10, 0.2723, 2), (38, 155, 0.3453, 1), (38, 30, 0.2299, 3), (39, 138, 0.3297, 3),
+          (39, 150, 0.3507, 2), (39, 8, 0.3847, 1), (4, 114, 0.3985, 1), (4, 89, 0.266, 2), (4, 92, 0.2133, 3),
+          (40, 170, 0.2429, 1), (40, 197, 0.213, 2), (40, 91, 0.1965, 3), (41, 158, 0.2311, 2), (41, 162, 0.3163, 1),
+          (41, 168, 0.2251, 3), (42, 141, 0.2419, 2), (42, 188, 0.2282, 3), (42, 69, 0.2534, 1), (43, 18, 0.2286, 2),
+          (43, 21, 0.1982, 3), (43, 92, 0.2288, 1), (44, 10, 0.3552, 1), (44, 124, 0.2033, 3), (44, 8, 0.2632, 2),
+          (45, 100, 0.3026, 1), (45, 26, 0.2675, 3), (45, 75, 0.2816, 2), (46, 121, 0.1946, 3), (46, 150, 0.2246, 2),
+          (46, 19, 0.2669, 1), (47, 104, 0.2964, 1), (47, 151, 0.2445, 3), (47, 74, 0.2914, 2), (48, 131, 0.3533, 1),
+          (48, 144, 0.2739, 3), (48, 162, 0.3037, 2), (49, 128, 0.2415, 2), (49, 184, 0.2219, 3), (49, 60, 0.3019, 1),
+          (5, 133, 0.2375, 2), (5, 33, 0.311, 1), (5, 92, 0.2374, 3), (50, 118, 0.2351, 3), (50, 82, 0.3133, 2),
+          (50, 91, 0.3481, 1), (51, 137, 0.2205, 3), (51, 47, 0.2353, 2), (51, 73, 0.3443, 1), (52, 19, 0.2929, 1),
+          (52, 193, 0.2173, 3), (52, 25, 0.2657, 2), (53, 159, 0.2561, 2), (53, 183, 0.2514, 3), (53, 82, 0.2701, 1),
+          (54, 148, 0.3026, 2), (54, 78, 0.3378, 1), (54, 97, 0.2606, 3), (55, 136, 0.2349, 2), (55, 167, 0.2421, 1),
+          (55, 67, 0.229, 3), (56, 123, 0.2636, 2), (56, 14, 0.2503, 3), (56, 146, 0.3207, 1), (57, 131, 0.2906, 1),
+          (57, 155, 0.2328, 3), (57, 75, 0.256, 2), (58, 149, 0.2447, 3), (58, 160, 0.2503, 1), (58, 93, 0.2497, 2),
+          (59, 15, 0.3196, 1), (59, 180, 0.3145, 2), (59, 7, 0.2702, 3), (6, 11, 0.2359, 2), (6, 145, 0.2977, 1),
+          (6, 88, 0.2039, 3), (60, 189, 0.3374, 1), (60, 49, 0.3019, 2), (60, 97, 0.2982, 3), (61, 160, 0.2053, 2),
+          (61, 50, 0.1844, 3), (61, 8, 0.2437, 1), (62, 111, 0.3045, 1), (62, 114, 0.2578, 2), (62, 190, 0.2204, 3),
+          (63, 125, 0.3959, 1), (63, 27, 0.347, 2), (63, 89, 0.2744, 3), (64, 1, 0.3164, 1), (64, 156, 0.2373, 3),
+          (64, 18, 0.2406, 2), (65, 20, 0.1966, 3), (65, 22, 0.2098, 1), (65, 79, 0.2045, 2), (66, 176, 0.2347, 2),
+          (66, 180, 0.207, 3), (66, 59, 0.2415, 1), (67, 176, 0.2633, 1), (67, 45, 0.262, 2), (67, 55, 0.229, 3),
+          (68, 150, 0.2335, 3), (68, 168, 0.2864, 2), (68, 95, 0.3351, 1), (69, 148, 0.2704, 2), (69, 16, 0.279, 1),
+          (69, 42, 0.2534, 3), (7, 36, 0.2261, 2), (7, 59, 0.2702, 1), (7, 9, 0.2084, 3), (70, 104, 0.3506, 1),
+          (70, 116, 0.2551, 3), (70, 17, 0.2892, 2), (71, 26, 0.2394, 1), (71, 50, 0.1797, 2), (71, 60, 0.178, 3),
+          (72, 126, 0.3089, 1), (72, 17, 0.2794, 2), (72, 79, 0.2558, 3), (73, 151, 0.238, 3), (73, 198, 0.2461, 2),
+          (73, 51, 0.3443, 1), (74, 104, 0.2367, 3), (74, 151, 0.2788, 2), (74, 47, 0.2914, 1), (75, 24, 0.2356, 3),
+          (75, 45, 0.2816, 1), (75, 57, 0.256, 2), (76, 124, 0.2552, 2), (76, 179, 0.2846, 1), (76, 95, 0.1881, 3),
+          (77, 110, 0.1914, 3), (77, 174, 0.2476, 1), (77, 20, 0.2232, 2), (78, 14, 0.2308, 3), (78, 157, 0.244, 2),
+          (78, 54, 0.3378, 1), (79, 120, 0.2189, 3), (79, 126, 0.2287, 2), (79, 72, 0.2558, 1), (8, 102, 0.2666, 2),
+          (8, 39, 0.3847, 1), (8, 44, 0.2632, 3), (80, 195, 0.2802, 1), (80, 31, 0.2159, 3), (80, 92, 0.2282, 2),
+          (81, 186, 0.1703, 3), (81, 96, 0.2909, 1), (81, 97, 0.2011, 2), (82, 197, 0.3228, 1), (82, 50, 0.3133, 2),
+          (82, 53, 0.2701, 3), (83, 104, 0.2427, 3), (83, 105, 0.2969, 1), (83, 110, 0.2473, 2), (84, 0, 0.1839, 3),
+          (84, 100, 0.1976, 2), (84, 169, 0.2156, 1), (85, 0, 0.2326, 1), (85, 130, 0.2071, 3), (85, 198, 0.2246, 2),
+          (86, 133, 0.2465, 3), (86, 152, 0.2604, 2), (86, 167, 0.2701, 1), (87, 101, 0.2139, 2), (87, 149, 0.2064, 3),
+          (87, 19, 0.4032, 1), (88, 123, 0.3271, 1), (88, 147, 0.3063, 2), (88, 26, 0.2957, 3), (89, 182, 0.2775, 1),
+          (89, 4, 0.266, 3), (89, 63, 0.2744, 2), (9, 186, 0.2161, 1), (9, 20, 0.2098, 2), (9, 7, 0.2084, 3),
+          (90, 113, 0.2421, 3), (90, 115, 0.2483, 2), (90, 145, 0.2681, 1), (91, 110, 0.2624, 3), (91, 116, 0.2672, 2),
+          (91, 50, 0.3481, 1), (92, 162, 0.2859, 1), (92, 25, 0.2775, 2), (92, 5, 0.2374, 3), (93, 123, 0.2519, 1),
+          (93, 126, 0.2453, 3), (93, 58, 0.2497, 2), (94, 191, 0.2565, 2), (94, 21, 0.3089, 1), (94, 42, 0.2013, 3),
+          (95, 160, 0.2899, 2), (95, 170, 0.2393, 3), (95, 68, 0.3351, 1), (96, 150, 0.2457, 2), (96, 196, 0.2445, 3),
+          (96, 81, 0.2909, 1), (97, 141, 0.2365, 3), (97, 54, 0.2606, 2), (97, 60, 0.2982, 1), (98, 159, 0.1715, 3),
+          (98, 172, 0.3612, 1), (98, 3, 0.188, 2), (99, 137, 0.183, 2), (99, 174, 0.1377, 3), (99, 197, 0.2098, 1)
+        ) AS t(a, b, cosine, rank)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1490,4 +1792,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id
             LIMIT 10
         """,
+        # literal pins for the last four previously rows-only queries
+        # (golden-KG viz projections; deterministic LSH outputs at the
+        # seeded, read-only sf tables):
+        "viz_nodes": _viz_nodes_sql(),
+        "viz_graph": _viz_graph_sql(),
+        "lsh_topk": _lsh_topk_sql(),
+        "knn_allpairs": _knn_allpairs_sql(),
     }

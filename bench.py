@@ -158,9 +158,9 @@ def _run_scaling(transcripts_path: str, n_turns: int) -> dict:
     Arrow-writer service threads and the Python kernel workers overlap the
     task threads and spill onto idle host cores, which a dedicated
     N-core executor does not have. Measured on this box: the unpinned
-    local[2] run borrows ~35% extra CPU (13.6k turns/sec/core vs 9.9k
-    pinned), understating efficiency to ~0.79 even though the pinned
-    levels scale at ~1.0 — pinning makes the sandbox stand-in faithful to
+    local[2] run borrows idle-core CPU (measured 10-35% across runs),
+    understating efficiency to 0.64-0.79 even though the pinned levels
+    scale at 0.90-1.07 — pinning makes the sandbox stand-in faithful to
     "an executor with N cores" at both levels.
 
     Noise hardening (the r01 driver record caught a 0.638 under background

@@ -2,12 +2,16 @@
 with typed metadata, processed by Arrow-batched kernels.
 
 The decode/resize/frame-sample inner loops need codec libraries that are
-NOT in this environment, so the media kernels are STUBBED: passing
-``fake=True`` (default) runs a deterministic fake decoder that produces
-shaped-correct outputs from the byte content; ``fake=False`` raises
-NotImplementedError at the decode site. Everything Spark-side — schemas,
-partition sizing, mapInPandas batch shape, metadata join — is real and
-tested.
+NOT in this environment, so the media kernels are capability-gated:
+``fake=None`` (default) probes for the codec library per worker
+(capabilities.py) and uses the real decoder when importable, else a
+deterministic fake that produces shaped-correct outputs from the byte
+content; ``fake=True``/``False`` forces either branch (``False`` without
+the library raises NotImplementedError at the decode site). In this
+container the probes resolve to the fake path; the real branches
+(PIL histogram features, PyAV frame decode) are exercised only where
+those libraries exist. Everything Spark-side — schemas, partition
+sizing, mapInPandas batch shape, metadata join — is real and tested.
 
 Scale notes: binary payloads ride in their own column so column pruning
 keeps metadata-only queries from ever reading the bytes; batches are kept
@@ -66,21 +70,43 @@ def _fake_feature(payload: bytes, dim: int) -> list[float]:
     return [a / total for a in acc]
 
 
-def decode_and_featurize(media: DataFrame, dim: int = 16, fake: bool = True) -> DataFrame:
+def _pil_feature(payload: bytes, dim: int) -> list[float]:
+    """Real image feature: normalized grayscale histogram folded to dim
+    bins (PIL-only, no model weights — deterministic)."""
+    import io
+
+    from PIL import Image
+
+    if not payload:
+        return [0.0] * dim
+    with Image.open(io.BytesIO(payload)) as img:
+        hist = img.convert("L").resize((64, 64)).histogram()  # 256 bins
+    acc = [0] * dim
+    for i, h in enumerate(hist):
+        acc[i % dim] += h
+    total = sum(acc) or 1
+    return [a / total for a in acc]
+
+
+def decode_and_featurize(media: DataFrame, dim: int = 16, fake: bool | None = None) -> DataFrame:
     """image rows -> feature vectors via an Arrow-batched kernel.
-    Real decode (PIL/libvips) is stubbed — see module docstring."""
+    Decoder choice is capability-gated — see module docstring."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..capabilities import has_pil, resolve_fake
+
+        use_fake = resolve_fake(fake, has_pil)
+        if not use_fake and not has_pil():
+            raise NotImplementedError(
+                "real image decode requires PIL/libvips, not available in this container"
+            )
+        featurize = _fake_feature if use_fake else _pil_feature
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/libvips, not available in this container"
-                )
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
-                    "feature": [_fake_feature(p, dim) for p in pdf["payload"]],
+                    "feature": [featurize(p, dim) for p in pdf["payload"]],
                 }
             )
             yield out
@@ -90,9 +116,32 @@ def decode_and_featurize(media: DataFrame, dim: int = 16, fake: bool = True) -> 
     )
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
+def _av_frames(payload: bytes, ts_list: list[int]) -> list[bytes]:
+    """Real frame extraction (PyAV): decode once per video, return the
+    nearest decoded frame (as raw RGB bytes) for each requested ts."""
+    import io
+
+    import av
+
+    out: list[bytes] = []
+    with av.open(io.BytesIO(payload)) as container:
+        stream = container.streams.video[0]
+        frames = [
+            (int(f.time * 1000) if f.time is not None else 0, f)
+            for f in container.decode(stream)
+        ]
+    for ts in ts_list:
+        if not frames:
+            out.append(b"")
+            continue
+        _, best = min(frames, key=lambda p: abs(p[0] - ts))
+        out.append(best.to_ndarray(format="rgb24").tobytes())
+    return out
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool | None = None) -> DataFrame:
     """video rows -> sampled frames. Frame timestamps are pure column math
-    (sequence over duration); frame extraction itself is the stubbed part."""
+    (sequence over duration); frame extraction is the capability-gated part."""
     timestamps = media.filter(F.col("kind") == "video").select(
         "media_id",
         "payload",
@@ -102,9 +151,31 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> 
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..capabilities import has_module, resolve_fake
+
+        use_fake = resolve_fake(fake, lambda: has_module("av"))
+        if not use_fake and not has_module("av"):
+            raise NotImplementedError("real frame decode requires PyAV/ffmpeg, not available")
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real frame decode requires ffmpeg, not available")
+            if not use_fake:
+                # one decode per video within the batch, frames fanned back
+                # to the exploded rows (rows for one media_id stay adjacent
+                # because explode preserves row order within a partition)
+                frame_bytes: dict[int, bytes] = {}
+                for mid, grp in pdf.groupby("media_id"):
+                    payload = grp["payload"].iloc[0]
+                    decoded = _av_frames(bytes(payload) if payload is not None else b"", list(grp["ts_ms"]))
+                    for idx, fb in zip(grp.index, decoded):
+                        frame_bytes[idx] = fb
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "frame_idx": (pdf["ts_ms"] // every_ms).astype("int32"),
+                        "ts_ms": pdf["ts_ms"].astype("int32"),
+                        "frame_bytes": [frame_bytes[i] for i in pdf.index],
+                    }
+                )
+                continue
             rows = {
                 "media_id": pdf["media_id"],
                 "frame_idx": (pdf["ts_ms"] // every_ms).astype("int32"),

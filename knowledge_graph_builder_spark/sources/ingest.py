@@ -47,17 +47,39 @@ def read_binary_documents(spark: SparkSession, path: str, glob: str = "*.pdf") -
     return spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
 
 
-def extract_text(binary_docs: DataFrame, fake: bool = True) -> DataFrame:
-    """(path, content) -> (path, text) via an Arrow-batched kernel."""
+def _pypdf_text(payload: bytes) -> str:
+    """Real page-text extraction, matching the reference's per-page
+    '\\n'.join + strip (utils.py:9-14)."""
+    import io
+
+    try:
+        from pypdf import PdfReader
+    except ImportError:  # pragma: no cover - legacy name
+        from PyPDF2 import PdfReader
+
+    if not payload:
+        return ""
+    reader = PdfReader(io.BytesIO(payload))
+    return "\n".join((page.extract_text() or "") for page in reader.pages).strip()
+
+
+def extract_text(binary_docs: DataFrame, fake: bool | None = None) -> DataFrame:
+    """(path, content) -> (path, text) via an Arrow-batched kernel.
+    ``fake=None`` probes for pypdf/PyPDF2 per worker (capabilities.py) and
+    uses the real extractor when importable."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..capabilities import has_pypdf, resolve_fake
+
+        use_fake = resolve_fake(fake, has_pypdf)
+        if not use_fake and not has_pypdf():
+            raise NotImplementedError("real PDF extraction requires pypdf, not in this container")
+        extract = _fake_pdf_text if use_fake else _pypdf_text
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real PDF extraction requires pypdf, not in this container")
             yield pd.DataFrame(
                 {
                     "path": pdf["path"],
-                    "text": [_fake_pdf_text(bytes(c) if c is not None else b"") for c in pdf["content"]],
+                    "text": [extract(bytes(c) if c is not None else b"") for c in pdf["content"]],
                 }
             )
 

@@ -311,3 +311,13 @@ def test_viz_color_map_matches_reference(spark):
     # events group by EVENT TYPE (not a generic "Event"), diamond shape
     assert out["Apple acquires Beats"] == ("Acquisition", "#fbbf24", "diamond")
     assert out["Weird thing"] == ("NewType", "#fbbf24", "diamond")  # event fallback
+
+
+def test_capability_gate_resolution():
+    # fake=None defers to the probe; explicit values are respected
+    from knowledge_graph_builder_spark.capabilities import resolve_fake
+
+    assert resolve_fake(None, lambda: True) is False   # codec present -> real
+    assert resolve_fake(None, lambda: False) is True   # codec absent -> fake
+    assert resolve_fake(True, lambda: True) is True
+    assert resolve_fake(False, lambda: False) is False
