@@ -276,6 +276,99 @@ def _q_tpch_q6(spark, sf_dir):
     return li.agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
 
 
+def _q_tpch_q10(spark, sf_dir):
+    # returned-item revenue per customer, top 20: selective dim filter on
+    # the fact side first, broadcast nation, top-k by window-free
+    # orderBy+limit (per-partition top-k under AQE)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        # per-term double products are bit-identical across engines;
+        # summing them as decimals is order-independent, so the rounded
+        # total can't flip on a .005 boundary from reduction order
+        .agg(
+            F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def _q_tpch_q14(spark, sf_dir):
+    # promo revenue share: conditional aggregation over a broadcast
+    # part-dim join, one month of lineitem
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def _q_tpch_q18(spark, sf_dir):
+    # large-volume orders: semi-join against an aggregated fact (the
+    # group-filter subquery shape), then enrich from customer
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 240)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+def _q_winnow_pairs(spark, sf_dir):
+    # rolling-hash document fingerprinting (winnowing) applied to near-dup
+    # pair detection: docs sharing >= 3 winnowed k-gram fingerprints.
+    # Deterministic subset keeps the oracle compact; at corpus scale the
+    # fingerprint self-join gets a hot-key count-filter first (the same
+    # pattern as lsh_candidate_pairs).
+    from knowledge_graph_builder_spark.operators.textstats import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    fps = winnowing_fingerprints(docs)
+    a = fps.select(F.col("doc_id").alias("a"), "fingerprint")
+    b = fps.select(F.col("doc_id").alias("b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+
+
 def _q_percentiles(spark, sf_dir):
     # exact interpolated percentiles per group (Spark percentile ==
     # DuckDB quantile_cont, both linear interpolation)
@@ -809,6 +902,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_top10": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
         "tpch_q6": _q_tpch_q6,
+        "tpch_q10_top20": _q_tpch_q10,
+        "tpch_q14_promo": _q_tpch_q14,
+        "tpch_q18_bigorders": _q_tpch_q18,
+        "winnow_pairs": _q_winnow_pairs,
         "percentiles": _q_percentiles,
         "pivot_counts": _q_pivot,
         "rollup_agg": _q_rollup,
@@ -1709,6 +1806,68 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        "tpch_q10_top20": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "tpch_q14_promo": """
+            SELECT round(
+                     100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4
+                   ) AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        """,
+        "tpch_q18_bigorders": """
+            WITH big AS (
+              SELECT l_orderkey, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 240
+            )
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   round(sum_qty, 2) AS sum_qty
+            FROM orders
+            JOIN big      ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        # winnowing (Schleimer et al.) recomputed exactly: char-8-gram md5
+        # at every position of the normalized text, min per 4-gram window,
+        # distinct per doc, then pairs sharing >= 3 fingerprints
+        "winnow_pairs": """
+            WITH d AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+              FROM documents WHERE doc_id % 5 = 0
+            ),
+            g AS (
+              SELECT doc_id, i AS pos, md5(substr(t, i, 8)) AS h
+              FROM d, LATERAL unnest(generate_series(1, greatest(length(t) - 7, 1))) AS u(i)
+            ),
+            w AS (
+              SELECT DISTINCT doc_id,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+              FROM g
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS shared
+            FROM w x JOIN w y ON x.fp = y.fp AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 3
         """,
         "tpch_q3_top10": """
             SELECT l.l_orderkey,

@@ -112,3 +112,44 @@ def document_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         quality_score_col(c).alias("quality"),
         fingerprint_col(c).alias("fingerprint"),
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer et al., SIGMOD'03):
+    normalize -> char k-gram hash at every position -> minimum per sliding
+    window of `window` positions -> distinct (doc, fingerprint). Documents
+    sharing fingerprints share k-gram content even after local edits —
+    the rolling-hash fingerprint family next to minhash/simhash.
+
+    Scale shape: the explode is linear in text length and stays in
+    whole-stage codegen (sequence/substring/md5 — no UDF); the only
+    window is partitioned BY DOCUMENT and ordered by position, so state
+    is bounded by a single document, never corpus-global; the final
+    distinct is the one shuffle. Guarantee matches winnowing's: any
+    shared run of (k + window - 1) chars yields a shared fingerprint.
+    """
+    from pyspark.sql import Window
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        norm.alias("t"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("t") - (k - 1), F.lit(1)))
+        ).alias("pos"),
+        F.col("t"),
+    ).select("doc_id", "pos", F.md5(F.substring(F.col("t"), F.col("pos"), k)).alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        grams.withColumn("fingerprint", F.min("h").over(w))
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )

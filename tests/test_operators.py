@@ -321,3 +321,31 @@ def test_capability_gate_resolution():
     assert resolve_fake(None, lambda: False) is True   # codec absent -> fake
     assert resolve_fake(True, lambda: True) is True
     assert resolve_fake(False, lambda: False) is False
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    # winnowing guarantee: any shared run of k+window-1 = 11 normalized
+    # chars yields at least one shared fingerprint; disjoint content
+    # yields none of the same
+    from knowledge_graph_builder_spark.operators.textstats import winnowing_fingerprints
+
+    shared = "identical passage embedded in both documents"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha opening text. " + shared + " tail one."),
+            (2, "totally different start! " + shared + " other ending."),
+            (3, "zzz qqq xxx vvv kkk jjj www yyy uuu"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnowing_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2], "shared passage must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # deterministic across repartitioning
+    fps2 = winnowing_fingerprints(docs.repartition(5)).collect()
+    assert {(r["doc_id"], r["fingerprint"]) for r in fps} == {
+        (r["doc_id"], r["fingerprint"]) for r in fps2
+    }
