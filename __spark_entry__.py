@@ -14,6 +14,8 @@ value-hash.
 
 from __future__ import annotations
 
+import datetime
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -354,18 +356,61 @@ def _q_winnow_pairs(spark, sf_dir):
     # Deterministic subset keeps the oracle compact; at corpus scale the
     # fingerprint self-join gets a hot-key count-filter first (the same
     # pattern as lsh_candidate_pairs).
-    from knowledge_graph_builder_spark.operators.textstats import winnowing_fingerprints
+    from knowledge_graph_builder_spark.operators.textstats import (
+        shared_fingerprint_pairs,
+        winnowing_fingerprints,
+    )
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    fps = winnowing_fingerprints(docs)
-    a = fps.select(F.col("doc_id").alias("a"), "fingerprint")
-    b = fps.select(F.col("doc_id").alias("b"), "fingerprint")
+    # max_bucket=100 does not bind on this corpus (max fingerprint bucket
+    # = 72), so the oracle recompute needs no cap; at web scale it is the
+    # guard that keeps the self-join fan-out bounded
+    return shared_fingerprint_pairs(winnowing_fingerprints(docs), min_shared=3, max_bucket=100)
+
+
+def _q_streaming_stats(spark, sf_dir):
+    # Structured Streaming under a VALUE oracle: the events table becomes
+    # a transcript stream (file source, availableNow), aggregated into
+    # 1-day event-time windows behind a 1-hour watermark in APPEND mode.
+    # A sentinel row written as a LATER file pushes the final watermark
+    # past every real window, so the closing no-data micro-batch flushes
+    # them all — the emitted set is deterministic regardless of how the
+    # files are batched, and a plain windowed GROUP BY reproduces it.
+    import tempfile
+
+    from knowledge_graph_builder_spark.streaming.incremental import stream_turn_stats
+
+    ev = _t(spark, sf_dir, "events")
+    tr = ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit("").alias("tool"),
+        F.col("ts"),
+    )
+    base = tempfile.mkdtemp(prefix="kgb_stream_q_")
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    tr.write.mode("overwrite").parquet(in_dir)
+    spark.createDataFrame(
+        [("sentinel", 0, "sentinel", "", "", datetime.datetime(2024, 6, 1))],
+        schema=tr.schema,
+    ).write.mode("append").parquet(in_dir)
+    q = stream_turn_stats(
+        spark, in_dir, out_dir, ckpt, window="1 day", watermark="1 hour", approx_distinct=False
+    )
+    q.awaitTermination(600)
     return (
-        a.join(b, "fingerprint")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("shared"))
-        .filter(F.col("shared") >= 3)
+        spark.read.parquet(f"{out_dir}/turn_stats")
+        .filter(F.col("role") != "sentinel")  # belt-and-braces; its window never finalizes
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd").alias("window_start"),
+            "role",
+            "n_turns",
+            "sum_len",
+            F.round("avg_len", 4).alias("avg_len"),
+            "max_len",
+        )
     )
 
 
@@ -906,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo": _q_tpch_q14,
         "tpch_q18_bigorders": _q_tpch_q18,
         "winnow_pairs": _q_winnow_pairs,
+        "streaming_turn_stats": _q_streaming_stats,
         "percentiles": _q_percentiles,
         "pivot_counts": _q_pivot,
         "rollup_agg": _q_rollup,
@@ -1868,6 +1914,19 @@ def oracle_sql() -> dict[str, str]:
             FROM w x JOIN w y ON x.fp = y.fp AND x.doc_id < y.doc_id
             GROUP BY 1, 2
             HAVING count(*) >= 3
+        """,
+        # the streaming query's emitted set == all real windows (sentinel
+        # advances the watermark past them; its own window never closes),
+        # so the oracle is the plain windowed aggregate
+        "streaming_turn_stats": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
+                   event_type AS role,
+                   count(*)::BIGINT AS n_turns,
+                   sum(length(props))::BIGINT AS sum_len,
+                   round(avg(length(props)), 4) AS avg_len,
+                   max(length(props))::INT AS max_len
+            FROM events
+            GROUP BY 1, 2
         """,
         "tpch_q3_top10": """
             SELECT l.l_orderkey,

@@ -153,3 +153,36 @@ def winnowing_fingerprints(
         .select("doc_id", "fingerprint")
         .distinct()
     )
+
+
+def shared_fingerprint_pairs(
+    fingerprints: DataFrame,
+    min_shared: int = 3,
+    max_bucket: int = 100,
+) -> DataFrame:
+    """(doc_id, fingerprint) -> (a, b, shared) pairs of documents sharing
+    >= min_shared winnowed fingerprints.
+
+    Hot-bucket guard (same pattern as dedup.lsh_candidate_pairs and
+    canonicalize.candidate_pairs): a partial-aggregable COUNT filters
+    boilerplate fingerprints shared by > max_bucket documents BEFORE any
+    self-join — no bucket can materialize quadratic pairs or an unbounded
+    member list. Docs related only through a dropped boilerplate
+    fingerprint still pair through their remaining content fingerprints.
+    """
+    ok = (
+        fingerprints.groupBy("fingerprint")
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .select("fingerprint")
+    )
+    bounded = fingerprints.join(ok, "fingerprint")
+    a = bounded.select(F.col("doc_id").alias("a"), "fingerprint")
+    b = bounded.select(F.col("doc_id").alias("b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -185,23 +185,38 @@ def stream_turn_stats(
     checkpoint_dir: str,
     window: str = "1 minute",
     watermark: str = "2 minutes",
+    approx_distinct: bool = True,
 ):
     """Event-time windowed turn statistics with a watermark for late data:
-    per (window, role) turn counts and mean text length, appended once the
+    per (window, role) turn counts and text-length stats, appended once the
     watermark passes the window end. The monitoring side-channel of the
     streaming pipeline (and the engine's windowed-agg + watermark
-    exemplar)."""
+    exemplar). ``approx_distinct=False`` swaps the HLL conversation count
+    for an exact max-length — every remaining aggregate is then
+    order-independent and engine-exact, which is what lets the driver
+    contract hold this stream to a DuckDB value oracle."""
     stream = read_transcript_stream(spark, input_path)
+    metrics = [
+        F.count("*").alias("n_turns"),
+        F.sum(F.length("text")).alias("sum_len"),
+        F.avg(F.length("text")).alias("avg_len"),
+    ]
+    metrics.append(
+        F.approx_count_distinct("conv_id").alias("n_convs")
+        if approx_distinct
+        else F.max(F.length("text")).alias("max_len")
+    )
+    metric_names = ["n_turns", "sum_len", "avg_len", "n_convs" if approx_distinct else "max_len"]
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "role")
-        .agg(
-            F.count("*").alias("n_turns"),
-            F.avg(F.length("text")).alias("avg_len"),
-            F.approx_count_distinct("conv_id").alias("n_convs"),
+        .agg(*metrics)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "role",
+            *[F.col(c) for c in metric_names],
         )
-        .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"),
-                "role", "n_turns", "avg_len", "n_convs")
     )
     return (
         agg.writeStream.format("parquet")

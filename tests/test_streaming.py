@@ -145,3 +145,30 @@ def test_stream_to_store_merge_and_restart(spark, tmp_path):
     edges2 = {(r.src, r.type, r.dst) for r in store.edges().collect()}
     assert nodes2 == nodes1 and edges2 == edges1
     assert store.nodes().count() == len(nodes1)
+
+
+def test_streaming_stats_equal_batch_aggregate(spark):
+    # the sentinel-flush contract: the availableNow stream's APPEND-mode
+    # output must equal the plain batch windowed aggregate (this is the
+    # invariant the driver's DuckDB oracle for streaming_turn_stats
+    # encodes)
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    got = {tuple(r) for r in entry._q_streaming_stats(spark, "/root/testdata/sf0.001").collect()}
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exp = {
+        tuple(r)
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("window_start"),
+            F.col("event_type").alias("role"),
+        )
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("props")).alias("sum_len"),
+            F.round(F.avg(F.length("props")), 4).alias("avg_len"),
+            F.max(F.length("props")).alias("max_len"),
+        )
+        .collect()
+    }
+    assert got == exp and len(got) > 0

@@ -62,6 +62,21 @@ def main(sf_dir: str) -> int:
     check("fused kernel has exactly one exchange", n_ex == 1, f"found {n_ex}")
     check("fused kernel is Arrow-evaluated", "MapInArrow" in pk or "ArrowEvalPython" in pk or "MapInPandas" in pk)
 
+    # 4) round-2 additions
+    p10 = plan_of(entry.queries()["tpch_q10_top20"](spark, sf_dir))
+    check("q10 broadcasts nation dim", "BroadcastHashJoin" in p10)
+    check("q10 pushes returnflag filter", "l_returnflag" in p10 and "PushedFilters" in p10)
+    check("q10 top-k avoids global sort", "TakeOrderedAndProject" in p10)
+
+    pq = plan_of(entry.queries()["quartile_bands"](spark, sf_dir))
+    check("quartile_bands prunes to l_quantity", "ReadSchema: struct<l_quantity:double>" in pq, pq[:400])
+    check("quartile_bands has exactly one window (over the histogram)", pq.count("Window") == 1)
+    check("quartile_bands broadcasts the total", "BroadcastNestedLoopJoin" in pq or "BroadcastExchange" in pq)
+
+    pw = plan_of(entry.queries()["winnow_pairs"](spark, sf_dir))
+    check("winnow window is per-document", "windowspecdefinition(doc_id" in pw, pw[:400])
+    check("winnow pair join is hash, not nested-loop", "CartesianProduct" not in pw)
+
     spark.stop()
     print(f"\n{len(failures)} failures")
     return 1 if failures else 0
