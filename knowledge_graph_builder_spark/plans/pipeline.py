@@ -149,6 +149,7 @@ def run_pipeline(
     fused: bool = True,
     kernel_partitions: int | None = None,
     persist: bool = True,
+    precap: bool = False,
 ) -> PipelineResult:
     """Transcripts -> full knowledge graph.
 
@@ -175,6 +176,13 @@ def run_pipeline(
     # the concrete sources (paths/tables), so pointing the same run_id at
     # different input invalidates every cached stage
     import hashlib
+
+    if precap:
+        # skew pre-cap: drop turns that provably cannot contribute to the
+        # capped document BEFORE the conv_id shuffle (assembly.py docstring)
+        from ..operators.assembly import precap_transcripts
+
+        transcripts = precap_transcripts(transcripts)
 
     plan_str = transcripts._jdf.queryExecution().logical().toString()
     mem_fp = ""

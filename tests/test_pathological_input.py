@@ -114,3 +114,42 @@ def test_lsh_degenerate_bucket_filtered_before_materialization(spark):
     assert (1000, 1001) in ids  # the bounded bucket still yields its pair
     # the 500-doc bucket was dropped wholesale: no boilerplate pairs at all
     assert all(a >= 1000 for a, _ in ids)
+
+
+def test_precap_byte_parity_and_reduction(spark):
+    # a hot conversation whose turns exceed the document cap: precap must
+    # (a) drop provably-non-contributing turns before the shuffle and
+    # (b) leave the pipeline output byte-identical
+    import random
+
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_builder_spark.operators.assembly import (
+        assemble_conversations,
+        precap_transcripts,
+    )
+    from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
+
+    rng = random.Random(7)
+    rows = [("hot", i, "user", f"turn {i} text padding {'x' * 30}", "", None) for i in range(2000)]
+    rows += [("cold", i, "user", f"Apple acquired Beats for $3 billion in 2014. #{i}", "", None) for i in range(5)]
+    rng.shuffle(rows)
+    from knowledge_graph_builder_spark.schema import TRANSCRIPTS
+
+    tr = spark.createDataFrame(rows, schema=TRANSCRIPTS)
+
+    # operator-level: tiny cap, tiny buckets -> most turns provably dead
+    capped = precap_transcripts(tr, max_chars=500, bucket=8)
+    n_hot = capped.filter(F.col("conv_id") == "hot").count()
+    assert n_hot < 2000 and n_hot >= 16  # dropped most, kept a safe prefix
+    # conservative: assembled docs at the same cap are byte-identical
+    full_docs = {r["conv_id"]: r["doc_text"] for r in assemble_conversations(tr, max_length=500).collect()}
+    cap_docs = {r["conv_id"]: r["doc_text"] for r in assemble_conversations(capped, max_length=500).collect()}
+    assert full_docs == cap_docs
+
+    # pipeline-level parity at the real cap (nothing dropped here, plan
+    # differs only by the pre-cap stages)
+    base = run_pipeline(spark, tr, persist=False).triples.collect()
+    pre = run_pipeline(spark, tr, persist=False, precap=True).triples.collect()
+    key = lambda r: (r["document_id"], r["source"], r["type"], r["target"], r["reason"])
+    assert sorted(map(key, base)) == sorted(map(key, pre))
