@@ -414,6 +414,14 @@ def _q_streaming_stats(spark, sf_dir):
     )
 
 
+def _q_pack_documents(spark, sf_dir):
+    # training-data sequence packing: contiguous-fill within deterministic
+    # shards — the one window is per-shard, never corpus-global
+    from knowledge_graph_builder_spark.operators.packing import pack_documents
+
+    return pack_documents(_t(spark, sf_dir, "documents"), max_tokens=256, n_shards=8)
+
+
 def _q_percentiles(spark, sf_dir):
     # exact interpolated percentiles per group (Spark percentile ==
     # DuckDB quantile_cont, both linear interpolation)
@@ -952,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_bigorders": _q_tpch_q18,
         "winnow_pairs": _q_winnow_pairs,
         "streaming_turn_stats": _q_streaming_stats,
+        "pack_documents": _q_pack_documents,
         "percentiles": _q_percentiles,
         "pivot_counts": _q_pivot,
         "rollup_agg": _q_rollup,
@@ -1927,6 +1936,24 @@ def oracle_sql() -> dict[str, str]:
                    max(length(props))::INT AS max_len
             FROM events
             GROUP BY 1, 2
+        """,
+        "pack_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END)::INT AS n_tokens,
+                     (doc_id % 8)::INT AS shard
+              FROM documents
+            ),
+            c AS (
+              SELECT shard, doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+              FROM t
+            )
+            SELECT shard, floor(before / 256.0)::BIGINT AS bin, doc_id, n_tokens,
+                   (before % 256)::BIGINT AS bin_offset
+            FROM c
         """,
         "tpch_q3_top10": """
             SELECT l.l_orderkey,

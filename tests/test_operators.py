@@ -349,3 +349,28 @@ def test_winnowing_shared_run_guarantee(spark):
     assert {(r["doc_id"], r["fingerprint"]) for r in fps} == {
         (r["doc_id"], r["fingerprint"]) for r in fps2
     }
+
+
+def test_pack_documents_contiguous_fill(spark):
+    from knowledge_graph_builder_spark.operators.packing import pack_documents, pack_stats
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i))) for i in range(12)], ["doc_id", "text"]
+    )
+    packed = {r["doc_id"]: r for r in pack_documents(docs, max_tokens=30, n_shards=2).collect()}
+    # shard 0: docs 0,2,4,... tokens 10,12,14,...; shard by doc_id % 2
+    assert packed[0]["shard"] == 0 and packed[1]["shard"] == 1
+    # doc 0: before=0 -> bin 0, offset 0; doc 2: before=10 -> bin 0 offset 10;
+    # doc 4: before=22 -> bin 0 offset 22 (straddles); doc 6: before=36 -> bin 1 offset 6
+    assert (packed[0]["bin"], packed[0]["bin_offset"]) == (0, 0)
+    assert (packed[2]["bin"], packed[2]["bin_offset"]) == (0, 10)
+    assert (packed[4]["bin"], packed[4]["bin_offset"]) == (0, 22)
+    assert (packed[6]["bin"], packed[6]["bin_offset"]) == (1, 6)
+    # stats: fill ratio of shard-0 bin-0 = (10+12+14)/30
+    stats = {(r["shard"], r["bin"]): r for r in pack_stats(
+        pack_documents(docs, max_tokens=30, n_shards=2), max_tokens=30).collect()}
+    assert stats[(0, 0)]["n_docs"] == 3 and abs(stats[(0, 0)]["fill_ratio"] - 1.2) < 1e-9
+    # deterministic under repartitioning
+    p2 = {r["doc_id"]: (r["bin"], r["bin_offset"]) for r in
+          pack_documents(docs.repartition(7), max_tokens=30, n_shards=2).collect()}
+    assert p2 == {k: (v["bin"], v["bin_offset"]) for k, v in packed.items()}
