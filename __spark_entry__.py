@@ -422,6 +422,14 @@ def _q_pack_documents(spark, sf_dir):
     return pack_documents(_t(spark, sf_dir, "documents"), max_tokens=256, n_shards=8)
 
 
+def _q_repetition(spark, sf_dir):
+    # Gopher-style repeated-3-gram ratio (pretraining quality filter);
+    # zero-shuffle plan — every expression is per-row column math
+    from knowledge_graph_builder_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def _q_percentiles(spark, sf_dir):
     # exact interpolated percentiles per group (Spark percentile ==
     # DuckDB quantile_cont, both linear interpolation)
@@ -961,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": _q_winnow_pairs,
         "streaming_turn_stats": _q_streaming_stats,
         "pack_documents": _q_pack_documents,
+        "repetition_stats": _q_repetition,
         "percentiles": _q_percentiles,
         "pivot_counts": _q_pivot,
         "rollup_agg": _q_rollup,
@@ -1954,6 +1963,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT shard, floor(before / 256.0)::BIGINT AS bin, doc_id, n_tokens,
                    (before % 256)::BIGINT AS bin_offset
             FROM c
+        """,
+        "repetition_stats": """
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS ws
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 3
+                          THEN [array_to_string(ws[i:i+2], ' ')
+                                FOR i IN generate_series(1, len(ws) - 2)]
+                          ELSE []::VARCHAR[] END AS grams
+              FROM w
+            )
+            SELECT doc_id,
+                   len(grams)::INT AS n_grams,
+                   len(list_distinct(grams))::INT AS n_distinct,
+                   CASE WHEN len(grams) = 0 THEN 0.0
+                        ELSE round(1.0 - len(list_distinct(grams)) / len(grams), 4)
+                   END AS rep_ratio
+            FROM g
         """,
         "tpch_q3_top10": """
             SELECT l.l_orderkey,

@@ -186,3 +186,36 @@ def shared_fingerprint_pairs(
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of duplicate word
+    n-grams per document (high ratio = boilerplate/looping text, a
+    standard pretraining quality filter). Pure column expressions — the
+    n-gram array is built with transform/slice (linear in text length,
+    codegen'd), counted per row; no explode, no shuffle at all."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    empty = F.length(F.trim(F.col(text_col))) == 0
+    grams = F.when(
+        empty | (F.size(words) < n), F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_grams.cast("int").alias("n_grams"),
+        n_distinct.cast("int").alias("n_distinct"),
+        F.when(n_grams == 0, F.lit(0.0))
+        .otherwise(F.round(F.lit(1.0) - n_distinct / n_grams, 4))
+        .alias("rep_ratio"),
+    )

@@ -374,3 +374,23 @@ def test_pack_documents_contiguous_fill(spark):
     p2 = {r["doc_id"]: (r["bin"], r["bin_offset"]) for r in
           pack_documents(docs.repartition(7), max_tokens=30, n_shards=2).collect()}
     assert p2 == {k: (v["bin"], v["bin_offset"]) for k, v in packed.items()}
+
+
+def test_repetition_stats_known_ratios(spark):
+    from knowledge_graph_builder_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),      # 7 trigrams, 3 distinct
+            (2, "one two three four"),     # 2 trigrams, both distinct
+            (3, "x y"),                    # too short -> 0 grams
+            (4, "   "),                    # blank -> 0 grams
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert (rows[1]["n_grams"], rows[1]["n_distinct"]) == (7, 3)
+    assert abs(rows[1]["rep_ratio"] - round(1 - 3 / 7, 4)) < 1e-9
+    assert rows[2]["rep_ratio"] == 0.0
+    assert rows[3]["n_grams"] == 0 and rows[3]["rep_ratio"] == 0.0
+    assert rows[4]["n_grams"] == 0
