@@ -422,6 +422,33 @@ def _q_pack_documents(spark, sf_dir):
     return pack_documents(_t(spark, sf_dir, "documents"), max_tokens=256, n_shards=8)
 
 
+def _q_redact_pii(spark, sf_dir):
+    # PII masking over documents with deterministically injected PII
+    # (the synth corpus contains none); map-only plan, no shuffle
+    from knowledge_graph_builder_spark.operators.privacy import redact_pii
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" host 192.168.10.1")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" id 123-45-6789")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(aug)
+
+
 def _q_repetition(spark, sf_dir):
     # Gopher-style repeated-3-gram ratio (pretraining quality filter);
     # zero-shuffle plan — every expression is per-row column math
@@ -970,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_turn_stats": _q_streaming_stats,
         "pack_documents": _q_pack_documents,
         "repetition_stats": _q_repetition,
+        "redact_pii": _q_redact_pii,
         "percentiles": _q_percentiles,
         "pivot_counts": _q_pivot,
         "rollup_agg": _q_rollup,
@@ -1963,6 +1991,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT shard, floor(before / 256.0)::BIGINT AS bin, doc_id, n_tokens,
                    (before % 256)::BIGINT AS bin_offset
             FROM c
+        """,
+        "redact_pii": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN ' host 192.168.10.1' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN ' id 123-45-6789' ELSE '' END
+                     AS text
+              FROM documents
+            ),
+            s0 AS (
+              SELECT doc_id, text,
+                     len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INT AS n_email,
+                     regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+              FROM aug
+            ),
+            s1 AS (
+              SELECT *, len(regexp_extract_all(t1, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))::INT AS n_ssn,
+                     regexp_replace(t1, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<ID>', 'g') AS t2
+              FROM s0
+            ),
+            s2 AS (
+              SELECT *, len(regexp_extract_all(t2, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'))::INT AS n_phone,
+                     regexp_replace(t2, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS t3
+              FROM s1
+            ),
+            s3 AS (
+              SELECT *, len(regexp_extract_all(t3, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::INT AS n_ipv4,
+                     regexp_replace(t3, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t4
+              FROM s2
+            )
+            SELECT doc_id, t4 AS redacted, n_email, n_ssn, n_phone, n_ipv4,
+                   (n_email + n_ssn + n_phone + n_ipv4)::INT AS n_pii
+            FROM s3
         """,
         "repetition_stats": """
             WITH w AS (

@@ -394,3 +394,24 @@ def test_repetition_stats_known_ratios(spark):
     assert rows[2]["rep_ratio"] == 0.0
     assert rows[3]["n_grams"] == 0 and rows[3]["rep_ratio"] == 0.0
     assert rows[4]["n_grams"] == 0
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from knowledge_graph_builder_spark.operators.privacy import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@test.org and 10.0.0.1 now"),
+            (2, "call 555-123-4567 or ssn 321-54-9876"),
+            (3, "clean text, no pii at all"),
+            (4, "two mails x@y.io y@z.ai"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert rows[1]["redacted"] == "mail <EMAIL> and <IP> now"
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_pii"]) == (1, 1, 2)
+    assert rows[2]["redacted"] == "call <PHONE> or ssn <ID>"
+    assert (rows[2]["n_phone"], rows[2]["n_ssn"]) == (1, 1)
+    assert rows[3]["redacted"] == rows[3]["redacted"] and rows[3]["n_pii"] == 0
+    assert rows[4]["n_email"] == 2 and "<EMAIL>" in rows[4]["redacted"]
