@@ -422,6 +422,23 @@ def _q_pack_documents(spark, sf_dir):
     return pack_documents(_t(spark, sf_dir, "documents"), max_tokens=256, n_shards=8)
 
 
+def _q_audio_features(spark, sf_dir):
+    # multimodal audio: framed RMS energies over the seeded synth corpus
+    # (fake 8-bit-PCM decode = the pinned branch in this container)
+    from knowledge_graph_builder_spark.operators.multimodal import (
+        audio_frame_features,
+        synth_media,
+    )
+
+    return audio_frame_features(synth_media(spark, n=30), frame_len=16, fake=True).select(
+        "media_id",
+        "n_samples",
+        "n_frames",
+        F.round(F.col("rms_mean").cast("double"), 4).alias("rms_mean"),
+        "peak_frame",
+    )
+
+
 def _q_redact_pii(spark, sf_dir):
     # PII masking over documents with deterministically injected PII
     # (the synth corpus contains none); map-only plan, no shuffle
@@ -997,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_turn_stats": _q_streaming_stats,
         "pack_documents": _q_pack_documents,
         "repetition_stats": _q_repetition,
+        "audio_features": _q_audio_features,
         "redact_pii": _q_redact_pii,
         "percentiles": _q_percentiles,
         "pivot_counts": _q_pivot,
@@ -1991,6 +2009,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT shard, floor(before / 256.0)::BIGINT AS bin, doc_id, n_tokens,
                    (before % 256)::BIGINT AS bin_offset
             FROM c
+        """,
+        "audio_features": """
+            SELECT media_id, n_samples, n_frames, rms_mean::DOUBLE AS rms_mean,
+                   peak_frame
+            FROM (VALUES
+              (1::BIGINT, 96, 6, 72.1697, 5),
+              (4::BIGINT, 192, 12, 72.1411, 2),
+              (7::BIGINT, 128, 8, 73.6311, 1),
+              (10::BIGINT, 64, 4, 64.7825, 2),
+              (13::BIGINT, 160, 10, 73.1948, 5),
+              (16::BIGINT, 96, 6, 69.4635, 4),
+              (19::BIGINT, 192, 12, 72.8814, 9),
+              (22::BIGINT, 128, 8, 72.6991, 7),
+              (25::BIGINT, 64, 4, 66.226, 2),
+              (28::BIGINT, 160, 10, 72.9655, 0)
+            ) AS t(media_id, n_samples, n_frames, rms_mean, peak_frame)
         """,
         "redact_pii": """
             WITH aug AS (

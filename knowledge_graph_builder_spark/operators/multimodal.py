@@ -191,6 +191,83 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool | None = No
     return timestamps.mapInPandas(kernel, schema=FRAME_SAMPLES)
 
 
+AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("frame_energy", T.ArrayType(T.FloatType()), False),
+        T.StructField("rms_mean", T.FloatType(), False),
+        T.StructField("peak_frame", T.IntegerType(), False),
+    ]
+)
+
+
+def _frame_energies(samples: list[float], frame_len: int) -> list[float]:
+    import math
+
+    out = []
+    for i in range(0, len(samples), frame_len):
+        frame = samples[i : i + frame_len]
+        out.append(math.sqrt(sum(x * x for x in frame) / len(frame)))
+    return out
+
+
+def _soundfile_samples(payload: bytes) -> list[float]:
+    """Real audio decode (soundfile/libsndfile): mono-mixed float samples."""
+    import io
+
+    import soundfile as sf
+
+    data, _rate = sf.read(io.BytesIO(payload), dtype="float32", always_2d=True)
+    return [float(row.mean()) for row in data]
+
+
+def audio_frame_features(
+    media: DataFrame, frame_len: int = 16, fake: bool | None = None
+) -> DataFrame:
+    """audio rows -> framed RMS-energy features (the standard first stage
+    of audio preprocessing: frame the waveform, compute per-frame energy,
+    pick peaks). Decoder is capability-gated like the image/video kernels:
+    the real branch decodes via soundfile/libsndfile; the fake branch
+    (this container) interprets the payload as unsigned 8-bit PCM centred
+    at 128 — deterministic, shaped-correct, same framing math."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..capabilities import has_module, resolve_fake
+
+        use_fake = resolve_fake(fake, lambda: has_module("soundfile"))
+        if not use_fake and not has_module("soundfile"):
+            raise NotImplementedError(
+                "real audio decode requires soundfile/libsndfile, not available"
+            )
+        for pdf in batches:
+            rows = {"media_id": [], "n_samples": [], "n_frames": [],
+                    "frame_energy": [], "rms_mean": [], "peak_frame": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                samples = (
+                    [float(b) - 128.0 for b in raw] if use_fake
+                    else _soundfile_samples(raw)
+                )
+                energies = _frame_energies(samples, frame_len)
+                rows["media_id"].append(mid)
+                rows["n_samples"].append(len(samples))
+                rows["n_frames"].append(len(energies))
+                rows["frame_energy"].append(energies)
+                rows["rms_mean"].append(
+                    sum(energies) / len(energies) if energies else 0.0
+                )
+                rows["peak_frame"].append(
+                    energies.index(max(energies)) if energies else -1
+                )
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
+        kernel, schema=AUDIO_FEATURES
+    )
+
+
 def synth_media(spark, n: int = 20, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for tests."""
     import random

@@ -415,3 +415,37 @@ def test_redact_pii_masks_and_counts(spark):
     assert (rows[2]["n_phone"], rows[2]["n_ssn"]) == (1, 1)
     assert rows[3]["redacted"] == rows[3]["redacted"] and rows[3]["n_pii"] == 0
     assert rows[4]["n_email"] == 2 and "<EMAIL>" in rows[4]["redacted"]
+
+
+def test_audio_frame_features_math(spark):
+    import math
+
+    from knowledge_graph_builder_spark.operators.multimodal import (
+        MEDIA,
+        audio_frame_features,
+        synth_media,
+    )
+
+    # hand-built payload: 20 bytes -> frame_len=8 gives frames of 8,8,4
+    payload = bytes([128] * 8 + [228] * 8 + [28] * 4)
+    media = spark.createDataFrame(
+        [(0, "audio", "audio/wav", payload, None, None, None),
+         (1, "image", "image/png", b"\x01\x02", 2, 1, None)],
+        schema=MEDIA,
+    )
+    rows = audio_frame_features(media, frame_len=8, fake=True).collect()
+    assert len(rows) == 1  # image row filtered out
+    r = rows[0]
+    assert (r["n_samples"], r["n_frames"]) == (20, 3)
+    assert r["frame_energy"][0] == 0.0           # all-128 frame -> silence
+    assert abs(r["frame_energy"][1] - 100.0) < 1e-4
+    assert r["peak_frame"] == 1
+    expected_mean = (0.0 + 100.0 + 100.0) / 3
+    assert abs(r["rms_mean"] - expected_mean) < 1e-4
+    # deterministic across partitionings on the synth corpus
+    def key(rows):
+        return {(r["media_id"], r["n_samples"], tuple(r["frame_energy"])) for r in rows}
+
+    a = key(audio_frame_features(synth_media(spark, n=12), fake=True).collect())
+    b = key(audio_frame_features(synth_media(spark, n=12).repartition(5), fake=True).collect())
+    assert a == b
