@@ -422,6 +422,19 @@ def _q_pack_documents(spark, sf_dir):
     return pack_documents(_t(spark, sf_dir, "documents"), max_tokens=256, n_shards=8)
 
 
+def _q_contamination(spark, sf_dir):
+    # eval-leakage check: distinct word-3-gram overlap of each corpus doc
+    # against a broadcast eval slice (doc_id % 97 == 0)
+    from knowledge_graph_builder_spark.operators.contamination import contamination_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_scores(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        n=3,
+    )
+
+
 def _q_audio_features(spark, sf_dir):
     # multimodal audio: framed RMS energies over the seeded synth corpus
     # (fake 8-bit-PCM decode = the pinned branch in this container)
@@ -1015,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": _q_pack_documents,
         "repetition_stats": _q_repetition,
         "audio_features": _q_audio_features,
+        "contamination": _q_contamination,
         "redact_pii": _q_redact_pii,
         "percentiles": _q_percentiles,
         "pivot_counts": _q_pivot,
@@ -2009,6 +2023,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT shard, floor(before / 256.0)::BIGINT AS bin, doc_id, n_tokens,
                    (before % 256)::BIGINT AS bin_offset
             FROM c
+        """,
+        "contamination": """
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS ws
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 3
+                          THEN list_distinct([array_to_string(ws[i:i+2], ' ')
+                                              FOR i IN generate_series(1, len(ws) - 2)])
+                          ELSE []::VARCHAR[] END AS grams
+              FROM w
+            ),
+            eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+            c AS (SELECT doc_id, grams FROM g WHERE doc_id % 97 <> 0),
+            ex AS (SELECT doc_id, unnest(grams) AS gram FROM c),
+            m AS (SELECT ex.doc_id, count(*) AS n_matched
+                  FROM ex JOIN eg USING (gram) GROUP BY ex.doc_id)
+            SELECT c.doc_id, len(c.grams)::INT AS n_grams,
+                   coalesce(m.n_matched, 0)::INT AS n_matched,
+                   CASE WHEN len(c.grams) = 0 THEN 0.0
+                        ELSE round(coalesce(m.n_matched, 0) / len(c.grams), 4)
+                   END AS contamination
+            FROM c LEFT JOIN m USING (doc_id)
         """,
         "audio_features": """
             SELECT media_id, n_samples, n_frames, rms_mean::DOUBLE AS rms_mean,

@@ -449,3 +449,24 @@ def test_audio_frame_features_math(spark):
     a = key(audio_frame_features(synth_media(spark, n=12), fake=True).collect())
     b = key(audio_frame_features(synth_media(spark, n=12).repartition(5), fake=True).collect())
     assert a == b
+
+
+def test_contamination_scores_exact(spark):
+    from knowledge_graph_builder_spark.operators.contamination import contamination_scores
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox sleeps"),   # grams: 3 distinct, 2 in eval
+            (2, "nothing shared here at all"),
+            (3, "xy"),                            # too short -> 0 grams
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in contamination_scores(corpus, ev, n=3).collect()}
+    assert (rows[1]["n_grams"], rows[1]["n_matched"]) == (3, 2)
+    assert abs(rows[1]["contamination"] - round(2 / 3, 4)) < 1e-9
+    assert rows[2]["n_matched"] == 0 and rows[2]["contamination"] == 0.0
+    assert rows[3]["n_grams"] == 0 and rows[3]["contamination"] == 0.0
