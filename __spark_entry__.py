@@ -422,6 +422,19 @@ def _q_pack_documents(spark, sf_dir):
     return pack_documents(_t(spark, sf_dir, "documents"), max_tokens=256, n_shards=8)
 
 
+def _q_stratified_sample(spark, sf_dir):
+    # corpus curation: salted-md5 stratified sampling (downsample en,
+    # keep all fr, default rate for the rest) — deterministic across
+    # engines/partitionings, map-only plan
+    from knowledge_graph_builder_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        rates={"en": 0.5, "de": 0.25, "fr": 1.0},
+        default_rate=0.1,
+    ).select("doc_id", "lang")
+
+
 def _q_contamination(spark, sf_dir):
     # eval-leakage check: distinct word-3-gram overlap of each corpus doc
     # against a broadcast eval slice (doc_id % 97 == 0)
@@ -1029,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition,
         "audio_features": _q_audio_features,
         "contamination": _q_contamination,
+        "stratified_sample": _q_stratified_sample,
         "redact_pii": _q_redact_pii,
         "percentiles": _q_percentiles,
         "pivot_counts": _q_pivot,
@@ -2023,6 +2037,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT shard, floor(before / 256.0)::BIGINT AS bin, doc_id, n_tokens,
                    (before % 256)::BIGINT AS bin_offset
             FROM c
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang
+            FROM documents
+            WHERE substring(md5(doc_id::VARCHAR || ':kgb'), 1, 8) <
+                  CASE lang
+                    WHEN 'de' THEN '40000000'
+                    WHEN 'en' THEN '80000000'
+                    WHEN 'fr' THEN 'g'
+                    ELSE '19999999'
+                  END
         """,
         "contamination": """
             WITH w AS (

@@ -1,0 +1,58 @@
+"""Deterministic stratified sampling for corpus curation: keep each row
+with a per-stratum rate (e.g. downsample dominant languages, keep all of
+a rare one) decided by a salted md5 of the row key — reproducible across
+runs, engines, and partitionings, unlike `DataFrame.sample` whose output
+depends on partition layout.
+
+Scale shape: pure column math (md5 + hex-string compare), map-only, no
+shuffle, fused into the scan; the sample decision is also a stable
+row-level fact, so re-running the pipeline (or resuming from checkpoint)
+reselects exactly the same rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16**8
+
+
+def _threshold_hex(rate: float) -> str:
+    """Rate in [0,1] -> 8-hex-digit threshold; hex-string < compare on
+    lowercase md5 prefixes == numeric compare on the first 32 bits."""
+    if rate >= 1.0:
+        return "g"  # every hex digit sorts below 'g' -> keeps all rows
+    return format(max(int(rate * _HEX_SPACE), 0), "08x")
+
+
+def sample_bucket_col(key_col: str, salt: str) -> Column:
+    """First 8 hex chars of md5('<key>:<salt>') — the row's uniform draw."""
+    return F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))), 1, 8
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "kgb",
+) -> DataFrame:
+    """Keep each row iff its salted-md5 bucket falls under its stratum's
+    rate. rate=1.0 keeps every row of the stratum; unknown strata use
+    default_rate. Returns the input rows unchanged (filter only)."""
+    bucket = sample_bucket_col(key_col, salt)
+    chain = None
+    for stratum, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == stratum
+        th = F.lit(_threshold_hex(rate))
+        chain = F.when(cond, th) if chain is None else chain.when(cond, th)
+    threshold = (
+        chain.otherwise(F.lit(_threshold_hex(default_rate)))
+        if chain is not None
+        else F.lit(_threshold_hex(default_rate))
+    )
+    return docs.filter(bucket < threshold)

@@ -470,3 +470,24 @@ def test_contamination_scores_exact(spark):
     assert abs(rows[1]["contamination"] - round(2 / 3, 4)) < 1e-9
     assert rows[2]["n_matched"] == 0 and rows[2]["contamination"] == 0.0
     assert rows[3]["n_grams"] == 0 and rows[3]["contamination"] == 0.0
+
+
+def test_stratified_sample_deterministic_rates(spark):
+    from knowledge_graph_builder_spark.operators.sampling import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else ("fr" if i % 4 == 1 else "zz"), "t")
+         for i in range(2000)],
+        ["doc_id", "lang", "text"],
+    )
+    out = stratified_sample(docs, rates={"en": 0.5, "fr": 1.0}, default_rate=0.0)
+    rows = out.groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in rows}
+    assert counts.get("zz", 0) == 0                      # default 0 drops all
+    assert counts["fr"] == 500                           # rate 1.0 keeps all
+    assert 400 < counts["en"] < 600                      # ~50% of 1000
+    # identical selection regardless of partitioning
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in stratified_sample(
+        docs.repartition(13), rates={"en": 0.5, "fr": 1.0}, default_rate=0.0).collect()}
+    assert a == b
