@@ -422,6 +422,101 @@ def _q_pack_documents(spark, sf_dir):
     return pack_documents(_t(spark, sf_dir, "documents"), max_tokens=256, n_shards=8)
 
 
+def _q_tpch_q4(spark, sf_dir):
+    # q4-adapted (schema subset has no commit/receipt dates): order count
+    # per priority for orders with at least one lineitem shipped after
+    # the order date, one quarter. LEFT SEMI join = EXISTS — Spark plans
+    # it as a semi hash join, no row duplication before the agg
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q_tpch_q19(spark, sf_dir):
+    # q19-adapted: disjunctive brand/size/quantity predicate over a
+    # broadcast part join; the OR-of-ANDs stays inside one codegen'd
+    # filter and the p/l scans prune to the referenced columns only
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def _q_tpch_q7(spark, sf_dir):
+    # q7-adapted: shipping volume between two nations in either
+    # direction, by year. Dims (nation, customer->nation, supplier->
+    # nation) broadcast; the only shuffle is the final group-by
+    n1, n2 = "NATION_1", "NATION_2"
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     # corpus curation: salted-md5 stratified sampling (downsample en,
     # keep all fr, default rate for the rest) — deterministic across
@@ -1043,6 +1138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
+        "tpch_q4_priority": _q_tpch_q4,
+        "tpch_q19_disc": _q_tpch_q19,
+        "tpch_q7_volume": _q_tpch_q7,
         "redact_pii": _q_redact_pii,
         "percentiles": _q_percentiles,
         "pivot_counts": _q_pivot,
@@ -2037,6 +2135,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT shard, floor(before / 256.0)::BIGINT AS bin, doc_id, n_tokens,
                    (before % 256)::BIGINT AS bin_offset
             FROM c
+        """,
+        "tpch_q4_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+              )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "tpch_q19_disc": """
+            SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 50
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q7_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   year(l.l_shipdate)::INT AS l_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            WHERE l.l_shipdate >= '1995-01-01' AND l.l_shipdate < '1997-01-01'
+              AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+                OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
         """,
         "stratified_sample": """
             SELECT doc_id, lang
