@@ -63,3 +63,46 @@ def test_streaming_restart_is_idempotent(spark, tmp_path):
         .collect()
     }
     assert streamed == _triple_set(spark, tr)
+
+
+def test_compact_parquet_preserves_rows_and_untouched_partitions(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_builder_spark.operators.compact import (
+        _data_files,
+        compact_parquet,
+    )
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 3).alias("part"), F.md5(F.col("id").cast("string")).alias("v")
+    )
+    # fragment partitions 0/1 into many tiny files; partition 2 single-file
+    df.filter("part < 2").repartition(16).write.partitionBy("part").parquet(root)
+    df.filter("part = 2").coalesce(1).write.mode("append").partitionBy("part").parquet(root)
+
+    p2 = os.path.join(root, "part=2")
+    sig_before = sorted(
+        (os.path.basename(f), os.path.getsize(f)) for f in _data_files(p2)
+    )
+    before_rows = sorted(tuple(r) for r in spark.read.parquet(root).collect())
+
+    rep = compact_parquet(spark, root, target_file_bytes=64 * 1024 * 1024)
+    assert rep.partitions_seen == 3
+    assert rep.partitions_compacted == 2          # part=2 already compact
+    assert rep.files_after < rep.files_before
+    assert len(_data_files(os.path.join(root, "part=0"))) == 1
+
+    # untouched partition files byte-identical (same names, same sizes)
+    sig_after = sorted(
+        (os.path.basename(f), os.path.getsize(f)) for f in _data_files(p2)
+    )
+    assert sig_after == sig_before
+    # value-identical table after compaction
+    after_rows = sorted(tuple(r) for r in spark.read.parquet(root).collect())
+    assert after_rows == before_rows
+    # idempotent: second sweep is a no-op
+    rep2 = compact_parquet(spark, root, target_file_bytes=64 * 1024 * 1024)
+    assert rep2.partitions_compacted == 0
