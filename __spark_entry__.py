@@ -422,6 +422,20 @@ def _q_pack_documents(spark, sf_dir):
     return pack_documents(_t(spark, sf_dir, "documents"), max_tokens=256, n_shards=8)
 
 
+def _q_curate_corpus(spark, sf_dir):
+    # composed curation chain with per-doc disposition lineage:
+    # quality gates -> exact dedup -> stratified sample, one shuffle
+    from knowledge_graph_builder_spark.operators.curation import curate_corpus
+
+    return curate_corpus(
+        _t(spark, sf_dir, "documents"),
+        min_tokens=30,
+        max_rep_ratio=0.5,
+        rates={"en": 0.5, "fr": 1.0},
+        default_rate=0.8,
+    )
+
+
 def _q_tpch_q4(spark, sf_dir):
     # q4-adapted (schema subset has no commit/receipt dates): order count
     # per priority for orders with at least one lineitem shipped after
@@ -1138,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
+        "curate_corpus": _q_curate_corpus,
         "tpch_q4_priority": _q_tpch_q4,
         "tpch_q19_disc": _q_tpch_q19,
         "tpch_q7_volume": _q_tpch_q7,
@@ -2135,6 +2150,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT shard, floor(before / 256.0)::BIGINT AS bin, doc_id, n_tokens,
                    (before % 256)::BIGINT AS bin_offset
             FROM c
+        """,
+        "curate_corpus": """
+            WITH w AS (
+              SELECT doc_id, lang, text,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS ws,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, lang, text, n_tokens,
+                     CASE WHEN len(ws) >= 3
+                          THEN [array_to_string(ws[i:i+2], ' ')
+                                FOR i IN generate_series(1, len(ws) - 2)]
+                          ELSE []::VARCHAR[] END AS grams
+              FROM w
+            ),
+            base AS (
+              SELECT doc_id, lang, n_tokens,
+                     CASE WHEN len(grams) = 0 THEN 0.0
+                          ELSE 1.0 - len(list_distinct(grams)) / len(grams) END AS rep_ratio,
+                     md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp,
+                     substring(md5(doc_id::VARCHAR || ':kgb'), 1, 8) AS bucket
+              FROM g
+            ),
+            canon AS (SELECT fp, min(doc_id) AS canon_id FROM base GROUP BY fp)
+            SELECT b.doc_id, b.lang, b.n_tokens,
+                   CASE WHEN b.n_tokens < 30 THEN 'too_short'
+                        WHEN b.rep_ratio > 0.5 THEN 'repetitive'
+                        WHEN b.doc_id <> c.canon_id THEN 'duplicate'
+                        WHEN b.bucket >= CASE b.lang WHEN 'en' THEN '80000000'
+                                                     WHEN 'fr' THEN 'g'
+                                                     ELSE 'cccccccc' END
+                             THEN 'sampled_out'
+                        ELSE 'kept' END AS decision
+            FROM base b JOIN canon c USING (fp)
         """,
         "tpch_q4_priority": """
             SELECT o_orderpriority, count(*) AS order_count

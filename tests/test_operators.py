@@ -491,3 +491,40 @@ def test_stratified_sample_deterministic_rates(spark):
     b = {r["doc_id"] for r in stratified_sample(
         docs.repartition(13), rates={"en": 0.5, "fr": 1.0}, default_rate=0.0).collect()}
     assert a == b
+
+
+def test_curate_corpus_decision_order(spark):
+    from knowledge_graph_builder_spark.operators.curation import (
+        curate_corpus,
+        curation_funnel,
+    )
+
+    long_unique = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, "en", long_unique),                      # kept (en rate 1.0)
+            (2, "en", "Short doc."),                     # too_short
+            (3, "en", "spam ham " * 30),                 # repetitive
+            (4, "en", long_unique + "!!"),               # normalized dup of 1
+            (5, "zz", long_unique + " extra tail words here ok"),  # sampled_out (rate 0)
+            (6, "en", "tiny " * 2),                      # too_short wins over repetitive
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    out = curate_corpus(
+        docs, min_tokens=10, max_rep_ratio=0.5,
+        rates={"en": 1.0}, default_rate=0.0,
+    )
+    d = {r["doc_id"]: r["decision"] for r in out.collect()}
+    assert d == {
+        1: "kept", 2: "too_short", 3: "repetitive",
+        4: "duplicate", 5: "sampled_out", 6: "too_short",
+    }
+    funnel = {r["decision"]: r["n_docs"] for r in curation_funnel(out).collect()}
+    assert funnel == {"kept": 1, "too_short": 2, "repetitive": 1,
+                      "duplicate": 1, "sampled_out": 1}
+    # disposition is partitioning-invariant
+    d2 = {r["doc_id"]: r["decision"] for r in curate_corpus(
+        docs.repartition(7), min_tokens=10, max_rep_ratio=0.5,
+        rates={"en": 1.0}, default_rate=0.0).collect()}
+    assert d2 == d
