@@ -7,16 +7,19 @@ is the curation funnel report, and any doc's fate is explainable
 without re-running the pipeline.
 
 Scale shape: quality gates and the sampling draw are per-row column
-math (fused into the scan); the only shuffle is the exact-dedup
-canonical-survivor aggregation, keyed by md5 of the normalized text
-(narrow 32-char key, partial-aggregated min), joined back to the
-corpus on that same key. Identical-boilerplate hot keys cost one
-reducer a min() over many rows — a scalar aggregate, not a collect.
+math (fused into the scan); the text column is digested to a 32-char
+fingerprint IN the scan projection, so the exact-dedup canonical
+survivor is a window-min over fp on narrow derived rows — ONE scan of
+the corpus and ONE shuffle of ~60 B/doc rows, never a second pass
+over the text bytes (a groupBy+join formulation plans two full scans
+because DataFrame lineage is duplicated, measured via .explain).
+Identical-boilerplate hot fps co-locate their (narrow) rows on one
+reducer for a scalar min — bounded by docs-per-fp, not text size.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalize_text_col
@@ -69,8 +72,6 @@ def curate_corpus(
         F.md5(normalize_text_col(F.col(text_col))).alias("fp"),
         sample_bucket_col(id_col, salt).alias("bucket"),
     )
-    canon = base.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
-
     rate_chain = None
     for stratum, rate in sorted((rates or {}).items()):
         th = F.lit(_threshold_hex(rate))
@@ -85,7 +86,7 @@ def curate_corpus(
     )
 
     return (
-        base.join(canon, "fp")
+        base.withColumn("canon_id", F.min("doc_id").over(Window.partitionBy("fp")))
         .select(
             "doc_id",
             "lang",
