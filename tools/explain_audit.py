@@ -77,6 +77,20 @@ def main(sf_dir: str) -> int:
     check("winnow window is per-document", "windowspecdefinition(doc_id" in pw, pw[:400])
     check("winnow pair join is hash, not nested-loop", "CartesianProduct" not in pw)
 
+    # 5) round-2 curation surface
+    pr = plan_of(entry.queries()["redact_pii"](spark, sf_dir))
+    check("redact_pii is map-only (no exchange)", "Exchange" not in pr, pr[:400])
+    prs = plan_of(entry.queries()["repetition_stats"](spark, sf_dir))
+    check("repetition_stats is map-only (no exchange)", "Exchange" not in prs)
+    pss = plan_of(entry.queries()["stratified_sample"](spark, sf_dir))
+    check("stratified_sample is map-only (no exchange)", "Exchange" not in pss)
+    pc = plan_of(entry.queries()["contamination"](spark, sf_dir))
+    check("contamination broadcasts the eval gram set", "BroadcastHashJoin" in pc, pc[:400])
+    check("contamination avoids nested-loop joins", "CartesianProduct" not in pc and "BroadcastNestedLoopJoin" not in pc)
+    pcc = plan_of(entry.queries()["curate_corpus"](spark, sf_dir))
+    check("curate_corpus scans the corpus once", pcc.count("Scan parquet") == 1, pcc[:400])
+    check("curate_corpus shuffles only the fp window", pcc.count("Exchange hashpartitioning") == 1)
+
     spark.stop()
     print(f"\n{len(failures)} failures")
     return 1 if failures else 0
