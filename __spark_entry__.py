@@ -896,6 +896,19 @@ def _q_pagerank_top(spark, sf_dir):
     ).limit(15)
 
 
+def _q_triangle_counts(spark, sf_dir):
+    # per-node triangle counts over the same lineitem-derived edge list as
+    # degree_stats; degree-ordered orientation bounds wedge fan-out on hubs
+    from knowledge_graph_builder_spark.operators.graphalg import triangle_count
+
+    e = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(e)
+
+
 def _q_month_rollup(spark, sf_dir):
     # temporal rollup: events per calendar month + distinct users
     ev = _t(spark, sf_dir, "events")
@@ -1185,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "month_rollup": _q_month_rollup,
         "doc_quality": _q_doc_quality,
         "degree_stats": _q_degree_stats,
+        "triangle_counts": _q_triangle_counts,
         # golden-pinned oracles (literal VALUES = reference-semantics output):
         "kg_triples": _q_kg_triples,
         "kg_events": _q_kg_events,
@@ -1847,6 +1861,20 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(in_degree, 0) AS in_degree,
                    coalesce(out_degree, 0) + coalesce(in_degree, 0) AS degree
             FROM o FULL OUTER JOIN i ON o.node = i.node
+        """,
+        "triangle_counts": """
+            WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+            und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                    FROM e WHERE src <> dst),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM und e1
+                    JOIN und e2 ON e2.a = e1.b
+                    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+            SELECT node, count(*) AS n_triangles FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ) GROUP BY node
         """,
         "doc_quality": _doc_quality_sql(),
         "ivf_topk": """

@@ -29,6 +29,59 @@ def degree_stats(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -
     )
 
 
+def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph induced
+    by the edge list (self-loops dropped, direction and multiplicity
+    collapsed). Returns (node, n_triangles) for every node in >=1 triangle.
+
+    Scale design — degree-ordered orientation: each undirected edge
+    {a, b} is directed from the endpoint with the smaller (degree, id)
+    pair to the larger. Under any total-order orientation a triangle has
+    exactly one vertex with two out-edges, so one wedge join (u->v join
+    v->w) plus one closing semi-join (u->w exists) counts each triangle
+    exactly once. Ordering by DEGREE (not id) additionally bounds every
+    node's out-degree by O(sqrt(m)), so the wedge join's per-key fan-out
+    never explodes on a hub — the hazard that makes naive triangle
+    enumeration infeasible at 100 TB. The oriented edge list is
+    localCheckpoint'd because the three-way self-join reuses it.
+    """
+    e = edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y")).filter(
+        F.col("x") != F.col("y")
+    )
+    und = e.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    withdeg = und.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")), "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint()
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(F.col("e1.u").alias("u"), F.col("e1.v").alias("v"), F.col("e2.v").alias("w"))
+    )
+    tri = wedges.alias("wg").join(
+        oriented.alias("e3"),
+        (F.col("wg.u") == F.col("e3.u")) & (F.col("wg.w") == F.col("e3.v")),
+        "leftsemi",
+    )
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 10,

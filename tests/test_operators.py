@@ -210,6 +210,26 @@ def test_pagerank_star_and_normalization(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
 
 
+def test_triangle_count_hand_graphs(spark):
+    from knowledge_graph_builder_spark.operators.graphalg import triangle_count
+
+    # K4 on {a,b,c,d}: 4 triangles, every node in 3; pendant 'e' in none;
+    # reversed duplicate edge + self-loop must not change counts
+    k4 = [(x, y) for i, x in enumerate("abcd") for y in "abcd"[i + 1 :]]
+    e = spark.createDataFrame(
+        k4 + [("d", "e"), ("b", "a"), ("c", "c")], "src string, dst string"
+    )
+    out = {r.node: r.n_triangles for r in triangle_count(e).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    # single triangle plus a disconnected edge
+    e2 = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("z", "x"), ("p", "q")], "src string, dst string"
+    )
+    out2 = {r.node: r.n_triangles for r in triangle_count(e2).collect()}
+    assert out2 == {"x": 1, "y": 1, "z": 1}
+
+
 def test_graph_store_bucketed_upsert_leaves_untouched_buckets_byte_identical(spark, tmp_path):
     """Scale contract: an upsert rewrites ONLY the hash buckets its batch
     touches — cost scales with batch size, not store size."""
