@@ -531,6 +531,137 @@ def _q_tpch_q7(spark, sf_dir):
     )
 
 
+def _q_tpch_q12(spark, sf_dir):
+    # q12-adapted (schema subset has no shipmode/commitdate): per
+    # linestatus, split the 1997 shipped-line count by order priority
+    # class. The orderkey join is fact-to-fact (shuffle on the join key);
+    # the conditional counts are partial-aggregable map-side
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def _q_tpch_q13(spark, sf_dir):
+    # q13-adapted (no comment column — exclude URGENT orders instead):
+    # distribution of customers by order count, zeros kept via the left
+    # join. Two chained aggregations; the second groups on the tiny
+    # c_count domain so its shuffle is trivial
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = c.join(o, c["c_custkey"] == o["o_custkey"], "left").groupBy(
+        "c_custkey"
+    ).agg(F.count("o_orderkey").alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def _q_tpch_q15(spark, sf_dir):
+    # q15-adapted: top supplier(s) by 1996-Q1 revenue. The per-supplier
+    # revenue agg is small post-shuffle; the scalar max joins back as a
+    # broadcast, so no second full scan and no window over one partition
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue"] == mx["mx"])
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def _q_tpch_q16(spark, sf_dir):
+    # q16-adapted (no partsupp table — distinct lineitem (part, supp)
+    # pairs stand in): supplier counts per brand/type/size, excluding one
+    # brand and one type. part is a broadcast dim; countDistinct plans as
+    # a two-phase partial aggregate
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey"))
+        .distinct()
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    j = ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def _q_tpch_q17(spark, sf_dir):
+    # q17-adapted (no container column): revenue from small-quantity
+    # lines of one brand, threshold 0.2x the part's average quantity.
+    # The correlated subquery decorrelates into a per-part agg joined
+    # back on the same key — both sides share the l_partkey partitioning.
+    # l_quantity is integer-valued, so avg() is bit-exact across engines
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    lj = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_q = lj.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    small = lj.join(avg_q, "l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+    )
+
+
+def _q_tpch_q22(spark, sf_dir):
+    # q22-adapted (no phone column; every customer has orders, so the
+    # EXISTS window shrinks to "no order since 1999"): per-nation count
+    # and balance of above-average-balance customers with no recent
+    # order. Scalar avg broadcasts; the anti join prunes to o_custkey
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+    )
+    inactive = rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
+    return (
+        inactive.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     # corpus curation: salted-md5 stratified sampling (downsample en,
     # keep all fr, default rate for the rest) — deterministic across
@@ -1169,6 +1300,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_priority": _q_tpch_q4,
         "tpch_q19_disc": _q_tpch_q19,
         "tpch_q7_volume": _q_tpch_q7,
+        "tpch_q12_priority_class": _q_tpch_q12,
+        "tpch_q13_custdist": _q_tpch_q13,
+        "tpch_q15_top_supplier": _q_tpch_q15,
+        "tpch_q16_supplier_cnt": _q_tpch_q16,
+        "tpch_q17_small_qty": _q_tpch_q17,
+        "tpch_q22_inactive": _q_tpch_q22,
         "redact_pii": _q_redact_pii,
         "percentiles": _q_percentiles,
         "pivot_counts": _q_pivot,
@@ -2254,6 +2391,79 @@ def oracle_sql() -> dict[str, str]:
                 OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
             GROUP BY 1, 2, 3
             ORDER BY 1, 2, 3
+        """,
+        "tpch_q12_priority_class": """
+            SELECT l.l_linestatus,
+                   count(*) FILTER (WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                     AS high_line_count,
+                   count(*) FILTER (WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                     AS low_line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= '1997-01-01' AND l.l_shipdate < '1998-01-01'
+            GROUP BY l.l_linestatus
+            ORDER BY l.l_linestatus
+        """,
+        "tpch_q13_custdist": """
+            WITH per_cust AS (
+              SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders
+                         WHERE o_orderpriority <> '1-URGENT') o
+                ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey AS supplier_no,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, rev.total_revenue
+            FROM rev JOIN supplier s ON rev.supplier_no = s.s_suppkey
+            WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+            ORDER BY s.s_suppkey
+        """,
+        "tpch_q16_supplier_cnt": """
+            WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey,
+                                        l_suppkey AS ps_suppkey FROM lineitem)
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+            FROM ps JOIN part p ON ps.ps_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#45' AND p.p_type <> 'PROMO'
+              AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+            GROUP BY p.p_brand, p.p_type, p.p_size
+            ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        """,
+        "tpch_q17_small_qty": """
+            WITH lj AS (
+              SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_brand = 'Brand#23'
+            ),
+            avg_q AS (SELECT l_partkey, avg(l_quantity) AS avg_qty
+                      FROM lj GROUP BY l_partkey)
+            SELECT round(sum(lj.l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lj JOIN avg_q ON lj.l_partkey = avg_q.l_partkey
+            WHERE lj.l_quantity < 0.2 * avg_q.avg_qty
+        """,
+        "tpch_q22_inactive": """
+            SELECT c.c_nationkey,
+                   count(*) AS numcust,
+                   round(sum(c.c_acctbal), 2) AS totacctbal
+            FROM customer c
+            WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                                 WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= '1999-01-01')
+            GROUP BY c.c_nationkey
+            ORDER BY c.c_nationkey
         """,
         "stratified_sample": """
             SELECT doc_id, lang
