@@ -1040,6 +1040,33 @@ def _q_triangle_counts(spark, sf_dir):
     return triangle_count(e)
 
 
+def _q_neighbor_jaccard(spark, sf_dir):
+    # structural similarity of adjacent node pairs (common-neighbor
+    # Jaccard) over the lineitem-derived graph; exact (no hub cap) so
+    # the SQL oracle can recompute it — at 100 TB you set
+    # max_center_degree to bound the wedge fan-out
+    from knowledge_graph_builder_spark.operators.graphalg import neighbor_jaccard
+
+    e = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    return neighbor_jaccard(e, min_common=2)
+
+
+def _q_kcore_nodes(spark, sf_dir):
+    # iterative k-core peel over the golden KG (all edge types) —
+    # driver-loop fixpoint like canonicalize/pagerank, pinned by a
+    # golden-literal oracle
+    from knowledge_graph_builder_spark.operators.graphalg import k_core
+    from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
+    from knowledge_graph_builder_spark.sources.synth import golden_transcripts
+
+    res = run_pipeline(spark, golden_transcripts(spark), persist=False)
+    return k_core(res.edges.select("src", "dst"), k=2).orderBy("node")
+
+
 def _q_month_rollup(spark, sf_dir):
     # temporal rollup: events per calendar month + distinct users
     ev = _t(spark, sf_dir, "events")
@@ -1336,6 +1363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "degree_stats": _q_degree_stats,
         "triangle_counts": _q_triangle_counts,
+        "neighbor_jaccard": _q_neighbor_jaccard,
+        "kcore_nodes": _q_kcore_nodes,
         # golden-pinned oracles (literal VALUES = reference-semantics output):
         "kg_triples": _q_kg_triples,
         "kg_events": _q_kg_events,
@@ -2012,6 +2041,35 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT y FROM tri
                 UNION ALL SELECT z FROM tri
             ) GROUP BY node
+        """,
+        "neighbor_jaccard": """
+            WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+            und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                    FROM e WHERE src <> dst),
+            adj AS (SELECT a AS node, b AS nbr FROM und
+                    UNION ALL SELECT b AS node, a AS nbr FROM und),
+            deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+            common AS (
+              SELECT l.nbr AS a, r.nbr AS b, count(*) AS common
+              FROM adj l JOIN adj r ON l.node = r.node AND l.nbr < r.nbr
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            pairs AS (SELECT c.a, c.b, c.common
+                      FROM common c JOIN und u ON c.a = u.a AND c.b = u.b)
+            SELECT p.a, p.b, p.common,
+                   round(p.common::DOUBLE / (da.deg + db.deg - p.common), 6) AS jaccard
+            FROM pairs p
+            JOIN deg da ON p.a = da.node
+            JOIN deg db ON p.b = db.node
+        """,
+        "kcore_nodes": """
+            SELECT node, core_degree::BIGINT AS core_degree FROM (VALUES
+              ('Amazon', 2), ('Android', 2), ('Apple', 7),
+              ('Apple acquires Beats', 2), ('Apple product launch', 2),
+              ('Beats', 2), ('Google', 3), ('Google product launch', 2),
+              ('Microsoft', 2), ('Tim Cook', 2), ('Tim Cook joins Apple', 2),
+              ('iPhone', 2)
+            ) AS t(node, core_degree)
         """,
         "doc_quality": _doc_quality_sql(),
         "ivf_topk": """

@@ -82,6 +82,117 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
     )
 
 
+def neighbor_jaccard(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_common: int = 1,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Jaccard similarity of the neighbor sets of every ADJACENT node
+    pair in the undirected graph: |N(a) n N(b)| / |N(a) u N(b)|.
+    Returns (a, b, common, jaccard) with a < b.
+
+    Scale shape: the intersection size comes from one wedge join over
+    the symmetric adjacency list (pairs of edges sharing an endpoint),
+    aggregated per pair — never a neighbor-set `collect_set` per node.
+    Degrees join in as two scalar columns and the union size is
+    deg(a) + deg(b) - common (inclusion-exclusion), so no set is ever
+    materialized. The wedge fan-out at a center node is deg^2, which a
+    super-hub makes infeasible at 100 TB; ``max_center_degree`` drops
+    hub CENTERS before the self-join (count-filter first, the same
+    guard as the LSH max_bucket cap), trading exactness for a bounded
+    plan — counts through dropped hubs are then lower bounds, the
+    standard concession for common-neighbor stats on power-law graphs.
+    None (default) keeps exact counts for oracle comparison.
+    """
+    e = edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y")).filter(
+        F.col("x") != F.col("y")
+    )
+    und = e.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")).distinct()
+    # symmetric adjacency: one row per (node, neighbor) in both directions
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).union(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("deg"))
+    centers = adj
+    if max_center_degree is not None:
+        ok = deg.filter(F.col("deg") <= max_center_degree).select("node")
+        centers = adj.join(ok, "node", "leftsemi")
+    # wedges centered on c: neighbors (a, b) of c with a < b form one
+    # co-occurrence; counting wedges per (a, b) = |N(a) n N(b)|
+    common = (
+        centers.alias("l")
+        .join(centers.alias("r"), F.col("l.node") == F.col("r.node"))
+        .filter(F.col("l.nbr") < F.col("r.nbr"))
+        .groupBy(F.col("l.nbr").alias("a"), F.col("r.nbr").alias("b"))
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    # adjacent pairs only: semi-join against the edge list itself
+    pairs = common.join(und, ["a", "b"], "leftsemi")
+    return (
+        pairs.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")), "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def k_core(edges: DataFrame, k: int, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node has
+    degree >= k (undirected, self-loops dropped). Returns (node, core_degree).
+
+    Iterative peel: drop nodes with degree < k, recompute degrees on the
+    induced subgraph, repeat to fixpoint. Each round is one aggregation
+    plus two semi-joins; the surviving edge list is localCheckpoint'd per
+    round so lineage stays flat. Rounds are bounded by the peel depth
+    (typically tens even on billion-edge graphs); each round's work
+    shrinks monotonically, so the total cost is a small constant times
+    one degree computation at full scale.
+    """
+    e = edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y")).filter(
+        F.col("x") != F.col("y")
+    )
+    und = (
+        e.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = und.count()
+    while True:
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .union(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        survivors = (
+            und.join(keep.select(F.col("node").alias("a")), "a", "leftsemi")
+            .join(keep.select(F.col("node").alias("b")), "b", "leftsemi")
+            .localCheckpoint()
+        )
+        n_survivors = survivors.count()
+        if n_survivors == n_edges:
+            final_deg = (
+                survivors.select(F.col("a").alias("node"))
+                .union(survivors.select(F.col("b").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").alias("core_degree"))
+            )
+            return final_deg.filter(F.col("core_degree") >= k)
+        und, n_edges = survivors, n_survivors
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 10,

@@ -230,6 +230,51 @@ def test_triangle_count_hand_graphs(spark):
     assert out2 == {"x": 1, "y": 1, "z": 1}
 
 
+def test_neighbor_jaccard_hand_graph(spark):
+    from knowledge_graph_builder_spark.operators.graphalg import neighbor_jaccard
+
+    # square a-b-c-d-a plus diagonal a-c:
+    #   pair (a,c): common {b,d}, deg a=3, c=3 -> 2/(3+3-2)=0.5
+    #   pair (a,b): common {c},    deg a=3, b=2 -> 1/(3+2-1)=0.25
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    out = {(r.a, r.b): (r.common, r.jaccard) for r in neighbor_jaccard(e).collect()}
+    assert out == {
+        ("a", "c"): (2, 0.5),
+        ("a", "b"): (1, 0.25),
+        ("b", "c"): (1, 0.25),
+        ("a", "d"): (1, 0.25),
+        ("c", "d"): (1, 0.25),
+    }
+    # hub-center cap: dropping the degree-3 centers (a, c) removes the
+    # wedges they host — every pair whose only common neighbor is a or c
+    # disappears; (a, c) survives intact because its common neighbors
+    # b and d are both under the cap
+    capped = {
+        (r.a, r.b): (r.common, r.jaccard)
+        for r in neighbor_jaccard(e, max_center_degree=2).collect()
+    }
+    assert capped == {("a", "c"): (2, 0.5)}
+
+
+def test_k_core_peels_to_fixpoint(spark):
+    from knowledge_graph_builder_spark.operators.graphalg import k_core
+
+    # triangle {a,b,c} with two pendant chains: 2-core is exactly the
+    # triangle; the chain must peel over MULTIPLE rounds (e->d first,
+    # then d->c), exercising the fixpoint loop
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"), ("b", "f")],
+        "src string, dst string",
+    )
+    out = {r.node: r.core_degree for r in k_core(e, k=2).collect()}
+    assert out == {"a": 2, "b": 2, "c": 2}
+    # k above the max degree peels everything
+    assert k_core(e, k=4).collect() == []
+
+
 def test_graph_store_bucketed_upsert_leaves_untouched_buckets_byte_identical(spark, tmp_path):
     """Scale contract: an upsert rewrites ONLY the hash buckets its batch
     touches — cost scales with batch size, not store size."""
