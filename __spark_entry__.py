@@ -1040,6 +1040,15 @@ def _q_triangle_counts(spark, sf_dir):
     return triangle_count(e)
 
 
+def _q_unigram_lm(spark, sf_dir):
+    # LM-filter curation signal: per-doc unigram cross-entropy against
+    # corpus-trained MLE token probabilities (two token-stream passes,
+    # Zipf skew on the token join handled by AQE)
+    from knowledge_graph_builder_spark.operators.textstats import unigram_lm_score
+
+    return unigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
 def _q_neighbor_jaccard(spark, sf_dir):
     # structural similarity of adjacent node pairs (common-neighbor
     # Jaccard) over the lineitem-derived graph; exact (no hub cap) so
@@ -1365,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": _q_triangle_counts,
         "neighbor_jaccard": _q_neighbor_jaccard,
         "kcore_nodes": _q_kcore_nodes,
+        "unigram_lm": _q_unigram_lm,
         # golden-pinned oracles (literal VALUES = reference-semantics output):
         "kg_triples": _q_kg_triples,
         "kg_events": _q_kg_events,
@@ -2041,6 +2051,21 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT y FROM tri
                 UNION ALL SELECT z FROM tri
             ) GROUP BY node
+        """,
+        "unigram_lm": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+            tf AS (SELECT tok, count(*) AS c FROM toks2 GROUP BY tok),
+            tot AS (SELECT sum(c)::DOUBLE AS t FROM tf)
+            SELECT d.doc_id,
+                   count(*) AS n_tokens,
+                   round(-sum(ln(tf.c / (SELECT t FROM tot))) / count(*), 4) AS xent
+            FROM toks2 d JOIN tf ON d.tok = tf.tok
+            GROUP BY d.doc_id
         """,
         "neighbor_jaccard": """
             WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),

@@ -219,3 +219,42 @@ def repetition_stats(
         .otherwise(F.round(F.lit(1.0) - n_distinct / n_grams, 4))
         .alias("rep_ratio"),
     )
+
+
+def unigram_lm_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unigram language-model cross-entropy per document (perplexity-
+    style quality signal, the classic LM-filter in pretraining curation):
+    train MLE token probabilities on the corpus itself, then score each
+    document by the mean negative log-probability of its tokens. Low
+    xent = text made of corpus-typical tokens; high xent = outlier/noise.
+
+    Two passes over the exploded token stream: one global token-count
+    aggregation (partial-aggregable) and one score join. The token-
+    frequency join shuffles on the token key — at 100 TB the vocabulary
+    is far smaller than the corpus but too big to broadcast wholesale;
+    Zipf skew on stop-tokens is absorbed by AQE skew-join splitting,
+    and the total corpus size joins in as one broadcast scalar.
+    Empty documents are excluded (no tokens to score).
+    """
+    toks = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    tf = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = tf.agg(F.sum("c").alias("t"))
+    scored = toks.join(tf, "tok").join(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(-F.sum(F.log(F.col("c") / F.col("t"))) / F.count("*"), 4).alias(
+                "xent"
+            ),
+        )
+    )

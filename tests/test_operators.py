@@ -441,6 +441,21 @@ def test_pack_documents_contiguous_fill(spark):
     assert p2 == {k: (v["bin"], v["bin_offset"]) for k, v in packed.items()}
 
 
+def test_unigram_lm_score_hand_case(spark):
+    import math
+
+    from knowledge_graph_builder_spark.operators.textstats import unigram_lm_score
+
+    # corpus tf: a=2, b=3, total=5; empty doc excluded
+    docs = spark.createDataFrame(
+        [(1, "A a  b"), (2, "b B"), (3, "   ")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.n_tokens, r.xent) for r in unigram_lm_score(docs).collect()}
+    x1 = round(-(2 * math.log(2 / 5) + math.log(3 / 5)) / 3, 4)
+    x2 = round(-math.log(3 / 5), 4)
+    assert out == {1: (3, x1), 2: (2, x2)}
+
+
 def test_repetition_stats_known_ratios(spark):
     from knowledge_graph_builder_spark.operators.textstats import repetition_stats
 
