@@ -1040,6 +1040,16 @@ def _q_triangle_counts(spark, sf_dir):
     return triangle_count(e)
 
 
+def _q_bm25_search(spark, sf_dir):
+    # keyword retrieval: BM25 top-20 for a fixed three-term query; the
+    # term filter prunes the token stream before any aggregation
+    from knowledge_graph_builder_spark.operators.search import bm25_rank
+
+    return bm25_rank(
+        _t(spark, sf_dir, "documents"), ["spark", "vector", "merge"], top_k=20
+    )
+
+
 def _q_unigram_lm(spark, sf_dir):
     # LM-filter curation signal: per-doc unigram cross-entropy against
     # corpus-trained MLE token probabilities (two token-stream passes,
@@ -1375,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_jaccard": _q_neighbor_jaccard,
         "kcore_nodes": _q_kcore_nodes,
         "unigram_lm": _q_unigram_lm,
+        "bm25_search": _q_bm25_search,
         # golden-pinned oracles (literal VALUES = reference-semantics output):
         "kg_triples": _q_kg_triples,
         "kg_events": _q_kg_events,
@@ -2051,6 +2062,33 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT y FROM tri
                 UNION ALL SELECT z FROM tri
             ) GROUP BY node
+        """,
+        "bm25_search": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+            corpus AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks2
+                   WHERE tok IN ('merge', 'spark', 'vector')
+                   GROUP BY doc_id, tok),
+            df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+            SELECT tf.doc_id,
+                   round(sum(
+                     ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / c.avgdl))
+                   ), 4) AS score
+            FROM tf
+            JOIN df ON tf.tok = df.tok
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN corpus c
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, tf.doc_id
+            LIMIT 20
         """,
         "unigram_lm": """
             WITH toks AS (

@@ -441,6 +441,28 @@ def test_pack_documents_contiguous_fill(spark):
     assert p2 == {k: (v["bin"], v["bin_offset"]) for k, v in packed.items()}
 
 
+def test_bm25_rank_ordering_and_scores(spark):
+    import math
+
+    from knowledge_graph_builder_spark.operators.search import bm25_rank
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple banana banana"), (3, "cherry cherry")],
+        "doc_id long, text string",
+    )
+    out = [(r.doc_id, r.score) for r in bm25_rank(docs, ["Apple"]).collect()]
+    # N=3, avgdl=8/3, df(apple)=2 -> idf = ln(1 + 1.5/2.5)
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+
+    def s(tf, dl):
+        return round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (8 / 3))), 4)
+
+    assert out == [(1, s(2, 3)), (2, s(1, 3))]  # higher tf first, d3 absent
+    # multi-term: doc 3 only matches 'cherry'; rare term still scores it
+    out2 = {r.doc_id for r in bm25_rank(docs, ["apple", "cherry"]).collect()}
+    assert out2 == {1, 2, 3}
+
+
 def test_unigram_lm_score_hand_case(spark):
     import math
 
