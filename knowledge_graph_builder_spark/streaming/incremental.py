@@ -256,3 +256,37 @@ def stream_kg_stateful(
         .trigger(processingTime="1 second")
         .start()
     )
+
+
+def stream_dedup_turns(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+):
+    """In-flight exact deduplication of replayed turns: emit each
+    (conv_id, turn_idx) once, dropping re-deliveries that arrive within
+    the watermark horizon. This is the streaming twin of the batch
+    exact-dedup operator — at-least-once upstream delivery (Kafka
+    replays, file re-lists) becomes effectively-once downstream.
+
+    ``dropDuplicatesWithinWatermark`` keys state by (conv_id, turn_idx)
+    and expires each key once the watermark passes its arrival time, so
+    state is bounded by the duplicate-arrival horizon rather than the
+    stream's full history — the property that keeps this viable on an
+    unbounded 10^12-turn stream, where an unexpired dedup state would
+    grow without limit.
+    """
+    stream = read_transcript_stream(spark, input_path)
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", f"{output_dir}/deduped_turns")
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

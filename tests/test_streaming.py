@@ -172,3 +172,36 @@ def test_streaming_stats_equal_batch_aggregate(spark):
         .collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_stream_dedup_drops_replayed_turns(spark, tmp_path):
+    import datetime as dt
+
+    from knowledge_graph_builder_spark.schema import TRANSCRIPTS
+    from knowledge_graph_builder_spark.streaming.incremental import stream_dedup_turns
+
+    base = dt.datetime(2024, 1, 1)
+    originals = [
+        ("c1", 0, "user", "hello", "", base),
+        ("c1", 1, "assistant", "hi", "", base + dt.timedelta(seconds=10)),
+        ("c2", 0, "user", "other", "", base + dt.timedelta(seconds=20)),
+    ]
+    # replay two of the turns (same keys, later ts) in a SECOND file so
+    # the duplicates arrive in a different micro-batch than the originals
+    replays = [
+        ("c1", 0, "user", "hello", "", base + dt.timedelta(seconds=30)),
+        ("c2", 0, "user", "other", "", base + dt.timedelta(seconds=40)),
+    ]
+    inp = str(tmp_path / "din")
+    spark.createDataFrame(originals, TRANSCRIPTS).coalesce(1).write.parquet(inp)
+    spark.createDataFrame(replays, TRANSCRIPTS).coalesce(1).write.mode("append").parquet(inp)
+    out, ckpt = str(tmp_path / "dout"), str(tmp_path / "dckpt")
+    q = stream_dedup_turns(spark, inp, out, ckpt, watermark="10 minutes")
+    q.awaitTermination(120)
+    got = spark.read.parquet(f"{out}/deduped_turns").collect()
+    keys = sorted((r.conv_id, r.turn_idx) for r in got)
+    assert keys == [("c1", 0), ("c1", 1), ("c2", 0)]
+    # restart over the same input re-emits nothing (checkpointed offsets)
+    q2 = stream_dedup_turns(spark, inp, out, ckpt, watermark="10 minutes")
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{out}/deduped_turns").count() == 3
