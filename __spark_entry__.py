@@ -1318,6 +1318,38 @@ def _q_pdf_ingest(spark, sf_dir):
     return run_pipeline(spark, tr, persist=False).triples.select("source", "type", "target")
 
 
+def _q_tfidf_topk(spark, sf_dir):
+    # per-document characteristic terms (sklearn smoothed tf-idf);
+    # scores rounded to 4 decimals BEFORE the per-doc rank so the top-3
+    # cut is engine-stable, ties on the term itself
+    from knowledge_graph_builder_spark.operators.search import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), top_k=3)
+
+
+def _q_mixture_weights(spark, sf_dir):
+    # temperature-scaled (alpha=0.5) training-mix weights per corpus
+    # source — one partial-aggregable pass + a broadcast normalization
+    from knowledge_graph_builder_spark.operators.sampling import mixture_weights
+
+    return mixture_weights(_t(spark, sf_dir, "documents"), alpha=0.5)
+
+
+def _q_label_propagation(spark, sf_dir):
+    # deterministic synchronous LPA communities over the golden KG
+    # (most-frequent-neighbor-label update, min-label tie-break) —
+    # iterative driver-loop operator like CC/PageRank, pinned literal
+    from knowledge_graph_builder_spark.operators.graphalg import label_propagation
+    from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
+    from knowledge_graph_builder_spark.sources.synth import golden_transcripts
+
+    res = run_pipeline(spark, golden_transcripts(spark), persist=False)
+    comm = label_propagation(
+        res.edges.filter(F.col("type") != "INVOLVES"), iterations=5
+    )
+    return comm.select("node", "community")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "conv_assembly": _q_conv_assembly,
@@ -1398,6 +1430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize": _q_canonicalize,
         "entity_linking": _q_entity_linking,
         "pagerank_top": _q_pagerank_top,
+        "tfidf_topk": _q_tfidf_topk,
+        "mixture_weights": _q_mixture_weights,
+        "label_propagation": _q_label_propagation,
         "media_features": _q_media_features,
         "frame_samples": _q_frame_samples,
         # literal-pinned (deterministic approximate operators + golden viz):
@@ -1924,6 +1959,62 @@ def oracle_sql() -> dict[str, str]:
               ('iPhone', 0.055509), ('Alibaba', 0.039896), ('Fire TV', 0.039896),
               ('Google', 0.039896), ('Kindle', 0.039896), ('Seattle', 0.039896)
             ) AS t(node, rank)
+        """,
+        "tfidf_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+              FROM documents WHERE length(trim(text)) > 0
+            ), tf AS (
+              SELECT doc_id, tok, count(*) AS tf
+              FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+            ), dfreq AS (
+              SELECT tok, count(*) AS df FROM tf GROUP BY tok
+            ), nd AS (
+              SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM tf
+            ), scored AS (
+              SELECT tf.doc_id, tf.tok AS term,
+                     round(tf.tf * (ln((1 + nd.n_docs) / (1 + dfreq.df)) + 1), 4) AS score
+              FROM tf JOIN dfreq USING (tok) CROSS JOIN nd
+            )
+            SELECT doc_id, term, score, rnk::INT AS rnk
+            FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+              FROM scored
+            ) WHERE rnk <= 3
+        """,
+        "mixture_weights": """
+            WITH per_source AS (
+              SELECT source, count(*) AS n_docs,
+                     sum(length(text))::BIGINT AS n_chars
+              FROM documents GROUP BY source
+            ), tot AS (
+              SELECT sum(n_docs)::DOUBLE AS tot_docs,
+                     sum(pow(n_docs, 0.5)) AS tot_pow
+              FROM per_source
+            )
+            SELECT source, n_docs, n_chars,
+                   round(n_docs / tot_docs, 6) AS share,
+                   round(pow(n_docs, 0.5) / tot_pow, 6) AS weight,
+                   round((pow(n_docs, 0.5) / tot_pow) / (n_docs / tot_docs), 6) AS boost
+            FROM per_source CROSS JOIN tot
+        """,
+        # pinned: 5-round self-vote-damped synchronous LPA over the golden
+        # KG (most-frequent neighbor label, min-label tie-break)
+        "label_propagation": """
+            SELECT node, community FROM (VALUES
+              ('Alibaba', 'Alibaba'), ('Amazon', 'Alibaba'),
+              ('Android', 'Alibaba'), ('Apple', 'Apple'),
+              ('Beats', 'Apple'), ('Cupertino', 'Apple'),
+              ('Fire TV', 'Alibaba'), ('Ford Motors', 'Ford Motors'),
+              ('Google', 'Alibaba'), ('Jeff Bezos', 'Alibaba'),
+              ('Kindle', 'Alibaba'), ('Microsoft', 'Alibaba'),
+              ('PlayStation', 'PlayStation'), ('Redmond', 'Alibaba'),
+              ('Seattle', 'Alibaba'), ('Sony', 'PlayStation'),
+              ('Steve Jobs', 'Apple'), ('Texas', 'Ford Motors'),
+              ('Tim Cook', 'Apple'), ('iPhone', 'Apple')
+            ) AS t(node, community)
         """,
         # pinned: mention->entity link scores over the golden KG (exact
         # self-links score 0.5*1+0.3*1+0.2*1=1.0; the two suffixed aliases

@@ -12,7 +12,7 @@ keep lineage bounded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -252,3 +252,60 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic synchronous label propagation (community detection)
+    over an undirected edge list — the complement to the min-label
+    connected-components loop in `canonicalize`: CC answers "which nodes
+    touch at all", LPA answers "which nodes cluster densely".
+
+    Each node starts labeled with itself; every round, a node adopts the
+    label held by the MOST of its neighbors, ties broken by the smallest
+    label — a fully deterministic update (no hash-order or partition-
+    order dependence), so the result is stable across engines and
+    partitionings and can be pinned by a literal oracle.
+
+    Scale shape per iteration: one shuffle join (labels onto the
+    symmetrized edge list, keyed by node) and one partial-aggregable
+    count per (node, label), then a per-node window whose partition size
+    is bounded by a node's distinct neighbor-label count (<= degree).
+    The label frame is localCheckpoint'd per iteration so the plan stays
+    flat across rounds. Hot hubs are bounded by degree, not corpus size;
+    a fixed iteration count (not convergence polling) keeps the job DAG
+    static for checkpoint/resume.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("label"))
+    for _ in range(iterations):
+        # each node votes its own current label once alongside its
+        # neighbors' — the standard damping that stops synchronous LPA
+        # from oscillating forever on bipartite substructures
+        neigh = sym.join(labels, sym["b"] == labels["node"]).select(
+            F.col("a").alias("node"), "label"
+        ).union(labels.select("node", "label"))
+        counts = neigh.groupBy("node", "label").agg(F.count("*").alias("n"))
+        labels = (
+            counts.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels.withColumnRenamed("label", "community")

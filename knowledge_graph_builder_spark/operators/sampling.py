@@ -56,3 +56,50 @@ def stratified_sample(
         else F.lit(_threshold_hex(default_rate))
     )
     return docs.filter(bucket < threshold)
+
+
+def mixture_weights(
+    docs: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled training-mix weights per corpus source: the
+    alpha-scaled multinomial used to build multilingual / multi-source
+    pretraining mixes (XLM-R-style, alpha in (0,1] — alpha=1 is
+    proportional sampling, smaller alpha upweights rare sources).
+
+      share_s  = n_s / sum(n)               (natural frequency)
+      weight_s = n_s^alpha / sum(n^alpha)   (sampling probability)
+      boost_s  = weight_s / share_s         (up/downsampling factor)
+
+    Output: (source, n_docs, n_chars, share, weight, boost), one row per
+    source, all ratios rounded to 6 decimals for cross-engine stability.
+
+    Scale shape: one partial-aggregable groupBy over the corpus (counts
+    and char sums only — text bytes never shuffle beyond the map-side
+    combine), then a broadcast of the per-source totals (rows = number
+    of sources, i.e. tiny) for the normalization. Nothing driver-side;
+    the weights frame feeds `stratified_sample` rates directly.
+    """
+    per_source = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length(F.col(text_col))).alias("n_chars"),
+    )
+    totals = per_source.agg(
+        F.sum("n_docs").cast("double").alias("tot_docs"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).alias("tot_pow"),
+    )
+    share = F.col("n_docs") / F.col("tot_docs")
+    weight = F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) / F.col("tot_pow")
+    return (
+        per_source.join(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.round(share, 6).alias("share"),
+            F.round(weight, 6).alias("weight"),
+            F.round(weight / share, 6).alias("boost"),
+        )
+    )

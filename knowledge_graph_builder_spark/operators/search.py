@@ -17,8 +17,61 @@ the dedup/ANN families do.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed tf-idf
+    (the sklearn formulation: idf = ln((1+N)/(1+df)) + 1).
+
+    The per-document keyword profile used for corpus exploration and
+    cluster labeling. Scores are rounded to 4 decimals BEFORE ranking
+    so the cut is deterministic across engines/partitionings; ties
+    break on the term itself.
+
+    Scale shape: tf is a partial-aggregable groupBy over the exploded
+    token stream; df is a second aggregation over the (already narrow)
+    tf frame, NOT a second corpus scan. The tf⋈df join shuffles on the
+    term — the natural key, vocabulary-sized build side, and AQE picks
+    broadcast when the vocab is small. The final ranking is a window
+    per doc_id whose partition size is bounded by a document's distinct
+    term count, never by corpus size.
+    """
+    toks = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    n_docs = tf.agg(F.count_distinct("doc_id").cast("double").alias("n_docs"))
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df_, "tok")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("doc_id", F.col("tok").alias("term"), "score", F.col("rnk").cast("int").alias("rnk"))
+    )
 
 
 def bm25_rank(

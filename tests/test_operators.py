@@ -630,3 +630,82 @@ def test_curate_corpus_decision_order(spark):
         docs.repartition(7), min_tokens=10, max_rep_ratio=0.5,
         rates={"en": 1.0}, default_rate=0.0).collect()}
     assert d2 == d
+
+
+def test_tfidf_top_terms_hand_scores(spark):
+    import math
+
+    from knowledge_graph_builder_spark.operators.search import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r["doc_id"], r["term"]): (r["score"], r["rnk"])
+           for r in tfidf_top_terms(docs, top_k=2).collect()}
+    # doc 1: apple tf=2 df=1, banana tf=1 df=2; N=3, idf = ln((1+N)/(1+df))+1
+    apple = round(2 * (math.log(4 / 2) + 1), 4)
+    banana = round(1 * (math.log(4 / 3) + 1), 4)
+    assert out[(1, "apple")] == (apple, 1)
+    assert out[(1, "banana")] == (banana, 2)
+    # doc 3: top-2 cut keeps cherry (tf=3) then durian (df=1 but tf=1)
+    assert out[(3, "cherry")][1] == 1 and out[(3, "durian")][1] == 2
+    assert (2, "durian") not in out
+    # partitioning-invariant
+    out2 = {(r["doc_id"], r["term"]): (r["score"], r["rnk"])
+            for r in tfidf_top_terms(docs.repartition(5), top_k=2).collect()}
+    assert out2 == out
+
+
+def test_mixture_weights_alpha_math(spark):
+    import math
+
+    from knowledge_graph_builder_spark.operators.sampling import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, "x" * 10, "big") for i in range(9)] + [(99, "x" * 4, "rare")],
+        ["doc_id", "text", "source"],
+    )
+    rows = {r["source"]: r for r in mixture_weights(docs, alpha=0.5).collect()}
+    tot_pow = math.sqrt(9) + math.sqrt(1)
+    assert rows["big"]["n_docs"] == 9 and rows["big"]["n_chars"] == 90
+    assert rows["rare"]["n_docs"] == 1 and rows["rare"]["n_chars"] == 4
+    assert rows["big"]["share"] == 0.9
+    assert rows["big"]["weight"] == round(3 / tot_pow, 6)
+    # alpha < 1 upweights the rare source, downweights the dominant one
+    assert rows["rare"]["boost"] > 1.0 > rows["big"]["boost"]
+    # alpha=1 is proportional sampling: weight == share, boost == 1
+    for r in mixture_weights(docs, alpha=1.0).collect():
+        assert r["weight"] == r["share"] and r["boost"] == 1.0
+
+
+def test_label_propagation_two_communities(spark):
+    from knowledge_graph_builder_spark.operators.graphalg import label_propagation
+
+    # two triangles joined by a single bridge edge: LPA must keep them
+    # as two communities (the bridge is outvoted on both sides)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("x", "y"), ("y", "z"), ("x", "z"),
+         ("c", "x")],
+        ["src", "dst"],
+    )
+    comm = {r["node"]: r["community"]
+            for r in label_propagation(edges, iterations=5).collect()}
+    assert comm["a"] == comm["b"] == comm["c"]
+    assert comm["x"] == comm["y"] == comm["z"]
+    assert comm["a"] != comm["x"]
+    # a lone bipartite pair must not oscillate: both ends settle on the
+    # min label thanks to the self-vote damping
+    pair = spark.createDataFrame([("p", "q")], ["src", "dst"])
+    got = {r["node"]: r["community"]
+           for r in label_propagation(pair, iterations=4).collect()}
+    assert got == {"p": "p", "q": "p"}
+    # deterministic under repartitioning
+    comm2 = {r["node"]: r["community"]
+             for r in label_propagation(edges.repartition(7), iterations=5).collect()}
+    assert comm2 == comm
