@@ -1350,6 +1350,104 @@ def _q_label_propagation(spark, sf_dir):
     return comm.select("node", "community")
 
 
+def _q_tpch_q8(spark, sf_dir):
+    # q8-adapted: NATION_1 suppliers' market share of PROMO-part volume
+    # sold to AMERICA-region customers, by order year. All dims broadcast
+    # (part filter, region->nation->customer chain, supplier->nation);
+    # the only big shuffle is lineitem x orders on the order key
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    amer = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(amer), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    promo = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    j = (
+        li.join(F.broadcast(promo), li["l_partkey"] == promo["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cust.hint("broadcast"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        j.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def _q_tpch_q21(spark, sf_dir):
+    # q21-adapted (schema subset has no commit/receipt dates, so the
+    # "late" marker is l_returnflag='R'): suppliers solely at fault —
+    # in a finished ('F') multi-supplier order, this supplier is the
+    # ONLY one with a returned line. One distinct (order, supp) frame
+    # feeds both the per-order stats and the fault count, so the exists
+    # + not-exists pair costs one aggregation, not two corpus joins.
+    li = _t(spark, sf_dir, "lineitem")
+    fo = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    os_supp = (
+        li.join(fo, li["l_orderkey"] == fo["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_ret"))
+    )
+    per_order = os_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("has_ret").alias("n_ret_supp")
+    )
+    fault = (
+        os_supp.filter(F.col("has_ret") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        fault.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+def _q_shard_manifest(spark, sf_dir):
+    # deterministic md5-bucket shard assignment + per-shard manifest —
+    # the training-shard writer's bookkeeping (portable row-level shard
+    # ids, so a resumed run appends to exactly the same shards)
+    from knowledge_graph_builder_spark.operators.packing import shard_assign, shard_manifest
+
+    d = _t(spark, sf_dir, "documents")
+    return shard_manifest(shard_assign(d, n_shards=16))
+
+
+def _q_vocab_stats(spark, sf_dir):
+    # corpus n-gram vocabulary growth (totals, distincts, type-token
+    # ratio for n=1..3) — one scan, one explode, two-level aggregation
+    from knowledge_graph_builder_spark.operators.textstats import ngram_vocab_stats
+
+    return ngram_vocab_stats(_t(spark, sf_dir, "documents"), max_n=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "conv_assembly": _q_conv_assembly,
@@ -1431,6 +1529,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_linking": _q_entity_linking,
         "pagerank_top": _q_pagerank_top,
         "tfidf_topk": _q_tfidf_topk,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q21": _q_tpch_q21,
+        "shard_manifest": _q_shard_manifest,
+        "vocab_stats": _q_vocab_stats,
         "mixture_weights": _q_mixture_weights,
         "label_propagation": _q_label_propagation,
         "media_features": _q_media_features,
@@ -1959,6 +2061,76 @@ def oracle_sql() -> dict[str, str]:
               ('iPhone', 0.055509), ('Alibaba', 0.039896), ('Fire TV', 0.039896),
               ('Google', 0.039896), ('Kindle', 0.039896), ('Seattle', 0.039896)
             ) AS t(node, rank)
+        """,
+        "tpch_q8": """
+            WITH amer_cust AS (
+              SELECT c_custkey FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey AND r_name = 'AMERICA'
+            )
+            SELECT year(o_orderdate)::INT AS o_year,
+                   round(sum(CASE WHEN n.n_name = 'NATION_1'
+                             THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN amer_cust ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n ON s_nationkey = n.n_nationkey
+            WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1997-01-01'
+            GROUP BY o_year ORDER BY o_year
+        """,
+        "tpch_q21": """
+            WITH os_supp AS (
+              SELECT l_orderkey, l_suppkey,
+                     max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_ret
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+              GROUP BY l_orderkey, l_suppkey
+            ), per_order AS (
+              SELECT l_orderkey, count(*) AS n_supp, sum(has_ret) AS n_ret_supp
+              FROM os_supp GROUP BY l_orderkey
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM os_supp
+            JOIN per_order USING (l_orderkey)
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE has_ret = 1 AND n_supp > 1 AND n_ret_supp = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
+        """,
+        "shard_manifest": """
+            WITH sh AS (
+              SELECT (('0x' || substring(md5(doc_id::VARCHAR || ':kgb'), 1, 8))::BIGINT
+                      % 16)::INT AS shard,
+                     text
+              FROM documents
+            )
+            SELECT shard, count(*) AS n_docs,
+                   sum(length(text))::BIGINT AS n_chars,
+                   sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                       END)::BIGINT AS n_tokens
+            FROM sh GROUP BY shard
+        """,
+        "vocab_stats": """
+            WITH d AS (
+              SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents WHERE length(trim(text)) > 0
+            ), pos AS (
+              SELECT n.n AS n, ws, unnest(range(1, len(ws) - n.n + 2)) AS i
+              FROM d CROSS JOIN (VALUES (1), (2), (3)) n(n)
+            ), g AS (
+              SELECT n, array_to_string(list_slice(ws, i, i + n - 1), ' ') AS gram
+              FROM pos
+            )
+            SELECT n::INT AS n, count(*) AS total_grams,
+                   count(DISTINCT gram) AS distinct_grams,
+                   round(count(DISTINCT gram)::DOUBLE / count(*), 6) AS ttr
+            FROM g GROUP BY n ORDER BY n
         """,
         "tfidf_topk": """
             WITH toks AS (

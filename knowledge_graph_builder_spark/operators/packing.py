@@ -66,3 +66,39 @@ def pack_stats(packed: DataFrame, max_tokens: int = 2048) -> DataFrame:
         F.sum("n_tokens").alias("sum_tokens"),
         F.round(F.sum("n_tokens") / F.lit(max_tokens), 4).alias("fill_ratio"),
     )
+
+
+def shard_assign(
+    docs: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    salt: str = "kgb",
+) -> DataFrame:
+    """Deterministic training-shard assignment: shard = the first 32
+    bits of md5('<doc_id>:<salt>') mod n_shards. Unlike hash-partition
+    numbers, the md5 bucket is a portable row-level fact (same shard in
+    every engine and on every run), so shard manifests are reproducible
+    and a resumed run appends to exactly the same shards.
+
+    Scale shape: pure column math fused into the scan — the actual
+    write is `df.repartition(n_shards, "shard").write.partitionBy("shard")`,
+    one shuffle keyed by the (uniform, salt-balanced) shard id.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8),
+        16, 10,
+    ).cast("long")
+    return docs.withColumn("shard", F.pmod(bucket, F.lit(n_shards)).cast("int"))
+
+
+def shard_manifest(
+    sharded: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-shard manifest (n_docs, n_chars, n_tokens) — the sidecar a
+    100 TB shard writer emits for loader-side balancing checks. One
+    partial-aggregable groupBy; char/token sums shuffle as scalars."""
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length(F.col(text_col))).alias("n_chars"),
+        F.sum(token_count_col(F.col(text_col))).alias("n_tokens"),
+    )

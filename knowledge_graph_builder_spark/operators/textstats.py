@@ -258,3 +258,62 @@ def unigram_lm_score(
             ),
         )
     )
+
+
+def ngram_vocab_stats(
+    docs: DataFrame,
+    max_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary statistics per n-gram order: total occurrences,
+    distinct count, and type-token ratio for n = 1..max_n — the Heaps-law
+    growth numbers used to spot boilerplate-heavy or templated corpora
+    (a low TTR at n=3 means the corpus repeats long spans).
+
+    Scale shape: ONE scan — each row emits a single array of (n, gram)
+    structs for every order (no per-order corpus passes), one explode,
+    then a partial-aggregable two-level aggregation: groupBy(n, gram)
+    first (map-side combine collapses repeats), then groupBy(n). The
+    (n, gram) shuffle is the irreducible cost of exact distinct counts;
+    swap the second level to approx_count_distinct when ±2% is fine.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    words = F.filter(words, lambda x: x != "")
+    empty = F.array().cast("array<struct<n:int,gram:string>>")
+    grams = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(max_n)),
+            # sequence(1, k) with k < 1 counts DOWN, so guard short rows
+            # with an explicit empty array instead
+            lambda n: F.when(
+                F.size(words) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - n + 1),
+                    lambda i: F.struct(
+                        n.cast("int").alias("n"),
+                        F.array_join(F.slice(words, i, n), " ").alias("gram"),
+                    ),
+                ),
+            ).otherwise(empty),
+        )
+    )
+    exploded = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.explode(grams).alias("g"))
+        .select(F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    )
+    per_gram = exploded.groupBy("n", "gram").agg(F.count("*").alias("c"))
+    return (
+        per_gram.groupBy("n")
+        .agg(
+            F.sum("c").alias("total_grams"),
+            F.count("*").alias("distinct_grams"),
+        )
+        .select(
+            F.col("n").cast("int").alias("n"),
+            "total_grams",
+            "distinct_grams",
+            F.round(F.col("distinct_grams") / F.col("total_grams"), 6).alias("ttr"),
+        )
+    )

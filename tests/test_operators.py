@@ -709,3 +709,43 @@ def test_label_propagation_two_communities(spark):
     comm2 = {r["node"]: r["community"]
              for r in label_propagation(edges.repartition(7), iterations=5).collect()}
     assert comm2 == comm
+
+
+def test_shard_assign_deterministic_and_manifest(spark):
+    from knowledge_graph_builder_spark.operators.packing import shard_assign, shard_manifest
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 5 + 1)) for i in range(200)], ["doc_id", "text"]
+    )
+    sharded = shard_assign(docs, n_shards=8)
+    a = {r["doc_id"]: r["shard"] for r in sharded.collect()}
+    # portable fact: recomputing under a different partitioning gives
+    # the identical assignment (this is what makes resume append-stable)
+    b = {r["doc_id"]: r["shard"] for r in shard_assign(docs.repartition(13), n_shards=8).collect()}
+    assert a == b
+    assert set(a.values()) <= set(range(8)) and len(set(a.values())) == 8
+    # reference value pin: md5-based bucket, engine-independent
+    import hashlib
+    exp = int(hashlib.md5(b"7:kgb").hexdigest()[:8], 16) % 8
+    assert a[7] == exp
+    man = {r["shard"]: (r["n_docs"], r["n_tokens"]) for r in shard_manifest(sharded).collect()}
+    assert sum(n for n, _ in man.values()) == 200
+    # tokens: doc i has i%5+1 toks (trailing space trimmed)
+    assert sum(t for _, t in man.values()) == sum(i % 5 + 1 for i in range(200))
+
+
+def test_ngram_vocab_stats_hand_counts(spark):
+    from knowledge_graph_builder_spark.operators.textstats import ngram_vocab_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a"), (3, ""), (4, "c")],
+        ["doc_id", "text"],
+    )
+    out = {r["n"]: r for r in ngram_vocab_stats(docs, max_n=3).collect()}
+    # unigrams: a,b,a,b,a,c -> 6 total, 3 distinct
+    assert (out[1]["total_grams"], out[1]["distinct_grams"]) == (6, 3)
+    # bigrams: "a b","b a" (doc1) + "b a" (doc2) -> 3 total, 2 distinct
+    assert (out[2]["total_grams"], out[2]["distinct_grams"]) == (3, 2)
+    # trigrams: only doc1 "a b a" -> 1 total, 1 distinct; doc4 too short
+    assert (out[3]["total_grams"], out[3]["distinct_grams"]) == (1, 1)
+    assert out[2]["ttr"] == round(2 / 3, 6)

@@ -106,3 +106,32 @@ def test_compact_parquet_preserves_rows_and_untouched_partitions(spark, tmp_path
     # idempotent: second sweep is a no-op
     rep2 = compact_parquet(spark, root, target_file_bytes=64 * 1024 * 1024)
     assert rep2.partitions_compacted == 0
+
+
+def test_bucketed_join_eliminates_exchange(spark, tmp_path):
+    from knowledge_graph_builder_spark.sources.bucketed import (
+        join_plan_exchanges,
+        write_bucketed,
+    )
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{tmp_path}/wh'")
+    try:
+        nodes = spark.range(1000).selectExpr("id AS key", "md5(id::string) AS name")
+        edges = spark.range(5000).selectExpr(
+            "(id % 1000) AS key", "id AS edge_id"
+        )
+        write_bucketed(nodes, "bucketdb.b_nodes", "key", n_buckets=8)
+        write_bucketed(edges, "bucketdb.b_edges", "key", n_buckets=8)
+        # co-located: the equi-join on the bucket key plans ZERO shuffles
+        assert join_plan_exchanges(spark, "bucketdb.b_nodes", "bucketdb.b_edges", "key") == 0
+        # values are right too
+        out = spark.table("bucketdb.b_nodes").join(spark.table("bucketdb.b_edges"), "key")
+        assert out.count() == 5000
+        # control: the same join from raw (unbucketed) frames shuffles
+        nodes.createOrReplaceTempView("raw_nodes")
+        edges.createOrReplaceTempView("raw_edges")
+        raw = spark.table("raw_nodes").join(spark.table("raw_edges"), "key")
+        raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in raw_plan
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
