@@ -1411,13 +1411,16 @@ def _q_tpch_q21(spark, sf_dir):
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_ret"))
     )
-    per_order = os_supp.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supp"), F.sum("has_ret").alias("n_ret_supp")
-    )
+    # per-order stats as a WINDOW over the (already narrow) per-supplier
+    # frame, not a groupBy + self-join — that formulation duplicates the
+    # DataFrame lineage and scans lineitem twice; this one scans it once
+    wo = Window.partitionBy("l_orderkey")
     fault = (
-        os_supp.filter(F.col("has_ret") == 1)
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        os_supp.withColumn("n_supp", F.count("*").over(wo))
+        .withColumn("n_ret_supp", F.sum("has_ret").over(wo))
+        .filter(
+            (F.col("has_ret") == 1) & (F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)
+        )
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

@@ -12,7 +12,7 @@ reselects exactly the same rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX_SPACE = 16**8
@@ -76,30 +76,27 @@ def mixture_weights(
     Output: (source, n_docs, n_chars, share, weight, boost), one row per
     source, all ratios rounded to 6 decimals for cross-engine stability.
 
-    Scale shape: one partial-aggregable groupBy over the corpus (counts
+    Scale shape: ONE partial-aggregable groupBy over the corpus (counts
     and char sums only — text bytes never shuffle beyond the map-side
-    combine), then a broadcast of the per-source totals (rows = number
-    of sources, i.e. tiny) for the normalization. Nothing driver-side;
-    the weights frame feeds `stratified_sample` rates directly.
+    combine). The normalization totals come from an unpartitioned window
+    over the AGGREGATED frame — a single reducer, but over one row per
+    source (dozens), not corpus rows; an agg + re-join formulation would
+    duplicate the lineage and aggregate the corpus twice. The weights
+    frame feeds `stratified_sample` rates directly.
     """
     per_source = docs.groupBy(F.col(source_col).alias("source")).agg(
         F.count("*").alias("n_docs"),
         F.sum(F.length(F.col(text_col))).alias("n_chars"),
     )
-    totals = per_source.agg(
-        F.sum("n_docs").cast("double").alias("tot_docs"),
-        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).alias("tot_pow"),
-    )
-    share = F.col("n_docs") / F.col("tot_docs")
-    weight = F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) / F.col("tot_pow")
-    return (
-        per_source.join(F.broadcast(totals))
-        .select(
-            "source",
-            "n_docs",
-            "n_chars",
-            F.round(share, 6).alias("share"),
-            F.round(weight, 6).alias("weight"),
-            F.round(weight / share, 6).alias("boost"),
-        )
+    w = Window.partitionBy()
+    n_pow = F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+    share = F.col("n_docs") / F.sum(F.col("n_docs").cast("double")).over(w)
+    weight = n_pow / F.sum(n_pow).over(w)
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(share, 6).alias("share"),
+        F.round(weight, 6).alias("weight"),
+        F.round(weight / share, 6).alias("boost"),
     )

@@ -35,13 +35,17 @@ def tfidf_top_terms(
     so the cut is deterministic across engines/partitionings; ties
     break on the term itself.
 
-    Scale shape: tf is a partial-aggregable groupBy over the exploded
-    token stream; df is a second aggregation over the (already narrow)
-    tf frame, NOT a second corpus scan. The tf⋈df join shuffles on the
-    term — the natural key, vocabulary-sized build side, and AQE picks
-    broadcast when the vocab is small. The final ranking is a window
-    per doc_id whose partition size is bounded by a document's distinct
-    term count, never by corpus size.
+    Scale shape: ONE corpus scan — tf is a partial-aggregable groupBy
+    over the exploded token stream, and df comes from a count-window
+    over the narrow tf frame keyed by the term (a groupBy + self-join
+    formulation duplicates the DataFrame lineage and scans the corpus
+    twice; the window shuffles the ~30 B/term rows once instead). The
+    corpus document count broadcasts from a column-pruned count of the
+    id column (``id_col`` is a key, and every non-blank document has at
+    least one token, so this equals the distinct-doc count of the token
+    stream). The final ranking is a window per doc_id whose partition
+    size is bounded by a document's distinct term count, never by
+    corpus size.
     """
     toks = (
         docs.filter(F.length(F.trim(F.col(text_col))) > 0)
@@ -52,10 +56,12 @@ def tfidf_top_terms(
         .filter(F.col("tok") != "")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    n_docs = tf.agg(F.count_distinct("doc_id").cast("double").alias("n_docs"))
-    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = docs.filter(F.length(F.trim(F.col(text_col))) > 0).agg(
+        F.count(id_col).cast("double").alias("n_docs")
+    )
+    wt = Window.partitionBy("tok")
     scored = (
-        tf.join(df_, "tok")
+        tf.withColumn("df", F.count("*").over(wt))
         .join(F.broadcast(n_docs))
         .withColumn(
             "score",

@@ -91,6 +91,22 @@ def main(sf_dir: str) -> int:
     check("curate_corpus scans the corpus once", pcc.count("Scan parquet") == 1, pcc[:400])
     check("curate_corpus shuffles only the fp window", pcc.count("Exchange hashpartitioning") == 1)
 
+    # 6) late-round-2 additions
+    p8 = plan_of(entry.queries()["tpch_q8"](spark, sf_dir))
+    check("q8 broadcasts every dim (part/region/nation/cust/supp)", p8.count("BroadcastHashJoin") >= 5, p8[:400])
+    check("q8 shuffles once (lineitem x orders)", p8.count("Exchange hashpartitioning") <= 2)
+    p21 = plan_of(entry.queries()["tpch_q21"](spark, sf_dir))
+    check("q21 scans lineitem once (window, not self-join)", p21.count("Scan parquet") <= 3, p21[:400])
+    psh = plan_of(entry.queries()["shard_manifest"](spark, sf_dir))
+    check("shard_manifest is one scan + one exchange", psh.count("Scan parquet") == 1 and psh.count("Exchange hashpartitioning") == 1, psh[:400])
+    pv = plan_of(entry.queries()["vocab_stats"](spark, sf_dir))
+    check("vocab_stats scans the corpus once for all n-gram orders", pv.count("Scan parquet") == 1, pv[:400])
+    pt = plan_of(entry.queries()["tfidf_topk"](spark, sf_dir))
+    check("tfidf df via window, not a corpus re-aggregation", pt.count("Scan parquet") <= 2, pt[:400])
+    check("tfidf has no cartesian product", "CartesianProduct" not in pt)
+    pm = plan_of(entry.queries()["mixture_weights"](spark, sf_dir))
+    check("mixture_weights aggregates the corpus once", pm.count("Scan parquet") == 1, pm[:400])
+
     spark.stop()
     print(f"\n{len(failures)} failures")
     return 1 if failures else 0
