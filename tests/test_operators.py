@@ -749,3 +749,17 @@ def test_ngram_vocab_stats_hand_counts(spark):
     # trigrams: only doc1 "a b a" -> 1 total, 1 distinct; doc4 too short
     assert (out[3]["total_grams"], out[3]["distinct_grams"]) == (1, 1)
     assert out[2]["ttr"] == round(2 / 3, 6)
+
+
+def test_ngram_vocab_stats_approx_within_tolerance(spark):
+    from knowledge_graph_builder_spark.operators.textstats import ngram_vocab_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {r["n"]: r for r in ngram_vocab_stats(docs, max_n=3).collect()}
+    apx = {r["n"]: r for r in ngram_vocab_stats(docs, max_n=3, approx=True).collect()}
+    for n in (1, 2, 3):
+        # totals are exact in both forms
+        assert apx[n]["total_grams"] == exact[n]["total_grams"]
+        # HLL++ distinct within 5% (default rsd is ~2.3%)
+        e, a = exact[n]["distinct_grams"], apx[n]["distinct_grams"]
+        assert abs(a - e) <= max(0.05 * e, 2), (n, e, a)
