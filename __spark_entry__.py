@@ -414,6 +414,50 @@ def _q_streaming_stats(spark, sf_dir):
     )
 
 
+def _q_streaming_sessions(spark, sf_dir):
+    # Streaming gap-based sessionization (native session_window) under a
+    # VALUE oracle: events become a per-user transcript stream; sessions
+    # close 6h after their last event and append exactly once when the
+    # watermark (pushed past every real session end by the sentinel file)
+    # passes that end. Batch-expressible as lag/sum sessionization grouped
+    # per session — the boundary is "new session when delta > gap"
+    # (session_window's merge test is inclusive of the session end).
+    # Timestamps leave as unix micros so both engines hash identical ints.
+    import tempfile
+
+    from knowledge_graph_builder_spark.streaming.incremental import stream_sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    tr = ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit("").alias("tool"),
+        F.col("ts"),
+    )
+    base = tempfile.mkdtemp(prefix="kgb_stream_sess_")
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    tr.write.mode("overwrite").parquet(in_dir)
+    spark.createDataFrame(
+        [("sentinel", 0, "sentinel", "", "", datetime.datetime(2024, 6, 1))],
+        schema=tr.schema,
+    ).write.mode("append").parquet(in_dir)
+    q = stream_sessionize(spark, in_dir, out_dir, ckpt, gap="6 hours", watermark="1 hour")
+    q.awaitTermination(600)
+    return (
+        spark.read.parquet(f"{out_dir}/sessions")
+        .filter(F.col("conv_id") != "sentinel")  # its session never finalizes
+        .select(
+            "conv_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            "n_turns",
+            "sum_len",
+        )
+    )
+
+
 def _q_pack_documents(spark, sf_dir):
     # training-data sequence packing: contiguous-fill within deterministic
     # shards — the one window is per-shard, never corpus-global
@@ -1470,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_bigorders": _q_tpch_q18,
         "winnow_pairs": _q_winnow_pairs,
         "streaming_turn_stats": _q_streaming_stats,
+        "streaming_sessions": _q_streaming_sessions,
         "pack_documents": _q_pack_documents,
         "repetition_stats": _q_repetition,
         "audio_features": _q_audio_features,
@@ -2684,6 +2729,37 @@ def oracle_sql() -> dict[str, str]:
                    max(length(props))::INT AS max_len
             FROM events
             GROUP BY 1, 2
+        """,
+        # streaming session_window twin: lag/sum sessionization, one row
+        # per (conv_id, session); new session when the gap since the
+        # key's previous event EXCEEDS 6h (the inclusive-end merge rule)
+        "streaming_sessions": """
+            WITH tr AS (
+              SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id, ts,
+                     length(props) AS len
+              FROM events
+            ),
+            f AS (
+              SELECT conv_id, ts, len,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM tr
+              WINDOW w AS (PARTITION BY conv_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT conv_id, ts, len,
+                     sum(is_new) OVER (PARTITION BY conv_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM f
+            )
+            SELECT conv_id,
+                   epoch_us(min(ts)) AS session_start_us,
+                   epoch_us(max(ts) + INTERVAL 6 HOUR) AS session_end_us,
+                   count(*)::BIGINT AS n_turns,
+                   sum(len)::BIGINT AS sum_len
+            FROM s
+            GROUP BY conv_id, sid
         """,
         "pack_documents": """
             WITH t AS (

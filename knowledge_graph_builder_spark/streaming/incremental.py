@@ -258,6 +258,58 @@ def stream_kg_stateful(
     )
 
 
+def stream_sessionize(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+):
+    """Streaming gap-based sessionization via the native ``session_window``
+    operator: per conv_id, an event joins the open session while it falls
+    before the session's current end (last event ts + ``gap``); otherwise
+    it opens a new one. Append mode emits each session EXACTLY ONCE — when
+    the watermark passes its end — as (conv_id, session_start, session_end,
+    n_turns, sum_len). The streaming twin of ``operators.joins.sessionize``
+    (batch assigns ids with a lag/sum window): session_window's merge test
+    is INCLUSIVE of the session end (an event at exactly last_ts + gap
+    still merges), which is the same boundary as batch's "new session only
+    when the gap EXCEEDS gap_seconds" — verified pairwise in
+    test_stream_sessionize_matches_batch.
+
+    Scale: state holds OPEN sessions only — a session's state retires the
+    moment the watermark passes its end, so state size is bounded by the
+    number of keys active inside one watermark horizon, not stream history.
+    The aggregates are partial-aggregable (count/sum), so the session merge
+    is map-side combinable before the keyed state update.
+    """
+    stream = read_transcript_stream(spark, input_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).alias("sum_len"),
+        )
+        .select(
+            "conv_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_turns",
+            "sum_len",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", f"{output_dir}/sessions")
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_dedup_turns(
     spark: SparkSession,
     input_path: str,

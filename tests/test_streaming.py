@@ -205,3 +205,69 @@ def test_stream_dedup_drops_replayed_turns(spark, tmp_path):
     q2 = stream_dedup_turns(spark, inp, out, ckpt, watermark="10 minutes")
     q2.awaitTermination(120)
     assert spark.read.parquet(f"{out}/deduped_turns").count() == 3
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_builder_spark.operators.joins import sessionize
+    from knowledge_graph_builder_spark.schema import TRANSCRIPTS
+    from knowledge_graph_builder_spark.streaming.incremental import stream_sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    gap = 1800  # 30 minutes
+
+    def turn(conv, idx, offset_s, text):
+        return (conv, idx, "user", text, "", base + dt.timedelta(seconds=offset_s))
+
+    # c1: two sessions — delta == gap MERGES (session_window's end is
+    # inclusive for the merge test, same as batch sessionize's "new only
+    # when gap > gap_seconds"), delta > gap splits; c2: one session whose
+    # turns arrive in DIFFERENT files (micro-batches), so the session
+    # must merge across state updates
+    file1 = [
+        turn("c1", 0, 0, "aa"),
+        turn("c1", 1, 60, "bbb"),
+        turn("c1", 2, 60 + gap, "c"),  # delta == gap: merges
+        turn("c2", 0, 0, "dd"),
+    ]
+    file2 = [
+        turn("c1", 3, 60 + gap + gap + 1, "ee"),  # delta > gap: NEW session
+        turn("c2", 1, 600, "ffff"),  # merges into c2's open session
+        # sentinel far in the future: pushes the final watermark past
+        # every real session end so append mode flushes them all
+        turn("sentinel", 0, 10 * 86400, ""),
+    ]
+    inp = str(tmp_path / "sin")
+    spark.createDataFrame(file1, TRANSCRIPTS).coalesce(1).write.parquet(inp)
+    spark.createDataFrame(file2, TRANSCRIPTS).coalesce(1).write.mode("append").parquet(inp)
+
+    out, ckpt = str(tmp_path / "sout"), str(tmp_path / "sckpt")
+    q = stream_sessionize(spark, inp, out, ckpt, gap="30 minutes", watermark="1 hour")
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/sessions")
+        .filter(F.col("conv_id") != "sentinel")
+        .collect()
+    }
+
+    # batch twin: lag/sum sessionize, grouped to (start, last+gap, count, sum)
+    tr = spark.createDataFrame(file1 + file2, TRANSCRIPTS).filter(F.col("conv_id") != "sentinel")
+    exp = {
+        tuple(r)
+        for r in sessionize(tr, "conv_id", "ts", gap_seconds=gap)
+        .groupBy("conv_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).alias("sum_len"),
+        )
+        .drop("session_id")
+        .collect()
+    }
+    assert got == exp
+    assert len(got) == 3  # c1 x2 + c2 x1
