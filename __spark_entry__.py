@@ -1084,6 +1084,24 @@ def _q_triangle_counts(spark, sf_dir):
     return triangle_count(e)
 
 
+def _q_bfs_levels(spark, sf_dir):
+    # multi-hop traversal: minimum hop distance from part p1 over the
+    # namespaced undirected part<->supplier graph, frontier-expansion BFS
+    # (one shuffle per level, visited anti-join). Oracled by a DuckDB
+    # recursive CTE — the SQL-engine statement of the same fixpoint.
+    from knowledge_graph_builder_spark.operators.graphalg import bfs_levels
+
+    e = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return bfs_levels(e, ["p1"], max_hops=3, directed=False)
+
+
 def _q_bm25_search(spark, sf_dir):
     # keyword retrieval: BM25 top-20 for a fixed three-term query; the
     # term filter prunes the token stream before any aggregation
@@ -1560,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "degree_stats": _q_degree_stats,
         "triangle_counts": _q_triangle_counts,
+        "bfs_levels": _q_bfs_levels,
         "neighbor_jaccard": _q_neighbor_jaccard,
         "kcore_nodes": _q_kcore_nodes,
         "unigram_lm": _q_unigram_lm,
@@ -2349,6 +2368,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        # BFS fixpoint as a recursive CTE; UNION (not UNION ALL) dedups
+        # (node, hops) pairs so recursion terminates, min(hops) = distance
+        "bfs_levels": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS s,
+                              's' || CAST(l_suppkey AS VARCHAR) AS d
+              FROM lineitem
+            ),
+            u AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+            bfs(node, hops) AS (
+              SELECT 'p1', 0
+              UNION
+              SELECT u.d, b.hops + 1 FROM bfs b JOIN u ON u.s = b.node
+              WHERE b.hops < 3
+            )
+            SELECT node, CAST(min(hops) AS INT) AS hops FROM bfs GROUP BY node
         """,
         "degree_stats": """
             WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),

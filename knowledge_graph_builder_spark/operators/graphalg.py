@@ -309,3 +309,58 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.withColumnRenamed("label", "community")
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: list,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 10,
+    directed: bool = True,
+) -> DataFrame:
+    """Minimum hop distance from a seed set: returns (node, hops) for
+    every node reachable within ``max_hops`` (seeds at 0). The multi-hop
+    traversal primitive a KG needs for neighborhood export / subgraph
+    sampling; the reference has no traversal beyond 1-hop INVOLVES.
+
+    Scale shape — frontier expansion, the BFS analog of the CC loop's
+    driver-controlled iteration: each round joins only the CURRENT
+    frontier against the edge list (shuffle keyed on node id), anti-joins
+    the visited set so a node is expanded exactly once, and
+    localCheckpoints both frames to keep lineage flat. Rounds = graph
+    diameter (bounded by ``max_hops``); total work is O(edges touched),
+    never O(edges x hops), because expanded nodes leave the frontier.
+    The per-round ``isEmpty`` is one lightweight job on an already-
+    checkpointed frame — the same early-exit pattern as k_core.
+    """
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d")).filter(
+        F.col("s") != F.col("d")
+    )
+    if not directed:
+        e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    e = e.distinct().localCheckpoint()
+
+    spark = edges.sparkSession
+    node_type = e.schema["s"].dataType
+    visited = (
+        spark.createDataFrame([(x,) for x in seeds], f"node {node_type.simpleString()}")
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited

@@ -763,3 +763,25 @@ def test_ngram_vocab_stats_approx_within_tolerance(spark):
         # HLL++ distinct within 5% (default rsd is ~2.3%)
         e, a = exact[n]["distinct_grams"], apx[n]["distinct_grams"]
         assert abs(a - e) <= max(0.05 * e, 2), (n, e, a)
+
+
+def test_bfs_levels_hand_graph(spark):
+    from knowledge_graph_builder_spark.operators.graphalg import bfs_levels
+
+    # path 1-2-3-4-5 plus an unreachable island {10, 11}; the 2->1 back
+    # edge must not re-visit node 1 (anti-join against visited)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (2, 1)], "src int, dst int"
+    )
+    got = {(r.node, r.hops) for r in bfs_levels(e, [1]).collect()}
+    assert got == {(1, 0), (2, 1), (3, 2), (4, 3), (5, 4)}
+
+    # undirected traversal reaches backwards; max_hops truncates levels
+    back = {(r.node, r.hops) for r in bfs_levels(e, [5], directed=False).collect()}
+    assert back == {(5, 0), (4, 1), (3, 2), (2, 3), (1, 4)}
+    capped = {(r.node, r.hops) for r in bfs_levels(e, [1], max_hops=2).collect()}
+    assert capped == {(1, 0), (2, 1), (3, 2)}
+
+    # multi-seed: distance is the minimum over seeds; duplicate seeds fold
+    multi = {(r.node, r.hops) for r in bfs_levels(e, [1, 4, 4]).collect()}
+    assert multi == {(1, 0), (4, 0), (2, 1), (5, 1), (3, 2)}
