@@ -1102,6 +1102,32 @@ def _q_bfs_levels(spark, sf_dir):
     return bfs_levels(e, ["p1"], max_hops=3, directed=False)
 
 
+def _q_quantize_embeddings(spark, sf_dir):
+    # int8 scalar quantization of the embedding corpus, summarized to
+    # per-vector scalars (dims, scale, code sum/min/max, max dequant
+    # error) so both engines hash plain columns, not array encodings.
+    # Map-only: the whole query is one scan stage, no shuffle.
+    from knowledge_graph_builder_spark.operators.similarity import quantize_embeddings
+
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    err = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("codes"), lambda x, c: F.abs(x - c * F.col("scale"))
+        ),
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, x),
+    )
+    return q.select(
+        "vec_id",
+        F.size("codes").alias("n_dims"),
+        F.round("scale", 9).alias("scale_r"),
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, v: a + v).alias("code_sum"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+        F.round(err, 9).alias("max_abs_err"),
+    )
+
+
 def _q_bm25_search(spark, sf_dir):
     # keyword retrieval: BM25 top-20 for a fixed three-term query; the
     # term filter prunes the token stream before any aggregation
@@ -1459,6 +1485,36 @@ def _q_tpch_q8(spark, sf_dir):
     )
 
 
+def _q_tpch_q9(spark, sf_dir):
+    # q9-adapted (schema subset has no partsupp): profit by supplier
+    # nation and order year over 'red' parts, supply cost surrogated as
+    # 50% of p_retailprice. part and supplier->nation broadcast; the one
+    # big shuffle is lineitem x orders on the order key.
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    red = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
 def _q_tpch_q21(spark, sf_dir):
     # q21-adapted (schema subset has no commit/receipt dates, so the
     # "late" marker is l_returnflag='R'): suppliers solely at fault —
@@ -1579,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_stats": _q_degree_stats,
         "triangle_counts": _q_triangle_counts,
         "bfs_levels": _q_bfs_levels,
+        "quantize_embeddings": _q_quantize_embeddings,
         "neighbor_jaccard": _q_neighbor_jaccard,
         "kcore_nodes": _q_kcore_nodes,
         "unigram_lm": _q_unigram_lm,
@@ -1597,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_top": _q_pagerank_top,
         "tfidf_topk": _q_tfidf_topk,
         "tpch_q8": _q_tpch_q8,
+        "tpch_q9_profit": _q_tpch_q9,
         "tpch_q21": _q_tpch_q21,
         "shard_manifest": _q_shard_manifest,
         "vocab_stats": _q_vocab_stats,
@@ -2129,6 +2187,18 @@ def oracle_sql() -> dict[str, str]:
               ('Google', 0.039896), ('Kindle', 0.039896), ('Seattle', 0.039896)
             ) AS t(node, rank)
         """,
+        "tpch_q9_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INT) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - 0.5 * p_retailprice * l_quantity), 2) AS sum_profit
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            GROUP BY 1, 2
+        """,
         "tpch_q8": """
             WITH amer_cust AS (
               SELECT c_custkey FROM customer
@@ -2371,6 +2441,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         # BFS fixpoint as a recursive CTE; UNION (not UNION ALL) dedups
         # (node, hops) pairs so recursion terminates, min(hops) = distance
+        # int8 quantization recomputed in list lambdas; scale forced to
+        # DOUBLE so both engines round identical IEEE quotients
+        "quantize_embeddings": """
+            WITH q AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding, x -> abs(x)))::DOUBLE / 127.0 AS scale
+              FROM embeddings
+            ),
+            c AS (
+              SELECT vec_id, embedding, scale,
+                     CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+                          ELSE list_transform(embedding,
+                                              x -> round(x::DOUBLE / scale)::INT)
+                     END AS codes
+              FROM q
+            )
+            SELECT vec_id,
+                   len(codes)::INT AS n_dims,
+                   round(scale, 9) AS scale_r,
+                   list_sum(codes)::BIGINT AS code_sum,
+                   list_min(codes)::INT AS code_min,
+                   list_max(codes)::INT AS code_max,
+                   round(CASE WHEN scale = 0 THEN 0.0
+                              ELSE list_max(list_transform(embedding,
+                                   x -> abs(x::DOUBLE - round(x::DOUBLE / scale) * scale)))
+                         END, 9) AS max_abs_err
+            FROM c
+        """,
         "bfs_levels": """
             WITH RECURSIVE e AS (
               SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS s,

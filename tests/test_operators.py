@@ -785,3 +785,35 @@ def test_bfs_levels_hand_graph(spark):
     # multi-seed: distance is the minimum over seeds; duplicate seeds fold
     multi = {(r.node, r.hops) for r in bfs_levels(e, [1, 4, 4]).collect()}
     assert multi == {(1, 0), (4, 0), (2, 1), (5, 1), (3, 2)}
+
+
+def test_quantize_embeddings_hand_vectors(spark):
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_builder_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [2.54, -1.27, 0.0]),  # scale 0.02: codes 127, -64 (half-up), 0
+            (2, [0.0, 0.0]),  # zero vector: scale 0, all-zero codes
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert abs(out[1].scale - 0.02) < 1e-9
+    assert out[1].codes == [127, -64, 0]
+    assert out[2].scale == 0.0 and out[2].codes == [0, 0]
+
+    # reconstruction bound |v - code*scale| <= scale/2 per dimension
+    q = quantize_embeddings(df).filter(F.col("scale") > 0)
+    bad = q.filter(
+        F.exists(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("codes"),
+                lambda x, c: F.abs(x - c * F.col("scale")) > F.col("scale") / 2 + 1e-9,
+            ),
+            lambda b: b,
+        )
+    ).count()
+    assert bad == 0
