@@ -458,12 +458,40 @@ def _q_streaming_sessions(spark, sf_dir):
     )
 
 
+def _q_unk_rare_tokens(spark, sf_dir):
+    # vocabulary pruning: tokens in fewer than 385 documents become
+    # <unk>, texts reassembled in token order (explode -> df count ->
+    # broadcast kept-vocab join -> position-sorted reassembly)
+    from knowledge_graph_builder_spark.operators.textstats import replace_rare_tokens
+
+    return replace_rare_tokens(_t(spark, sf_dir, "documents"), min_df=385)
+
+
+def _q_chunk_documents(spark, sf_dir):
+    # overlapping context-window chunking: 128-char windows, 32 overlap;
+    # map-only sequence+posexplode+substr, fan-out bounded per row
+    from knowledge_graph_builder_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_chars=128, overlap=32
+    )
+
+
 def _q_pack_documents(spark, sf_dir):
     # training-data sequence packing: contiguous-fill within deterministic
     # shards — the one window is per-shard, never corpus-global
     from knowledge_graph_builder_spark.operators.packing import pack_documents
 
     return pack_documents(_t(spark, sf_dir, "documents"), max_tokens=256, n_shards=8)
+
+
+def _q_split_corpus(spark, sf_dir):
+    # deterministic 80/10/10 train/val/test assignment from the salted
+    # md5 bucket — map-only, stable under corpus growth (no val->train
+    # leakage when new docs arrive)
+    from knowledge_graph_builder_spark.operators.sampling import split_corpus
+
+    return split_corpus(_t(spark, sf_dir, "documents")).select("doc_id", "lang", "split")
 
 
 def _q_curate_corpus(spark, sf_dir):
@@ -1590,10 +1618,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_turn_stats": _q_streaming_stats,
         "streaming_sessions": _q_streaming_sessions,
         "pack_documents": _q_pack_documents,
+        "unk_rare_tokens": _q_unk_rare_tokens,
+        "chunk_documents": _q_chunk_documents,
         "repetition_stats": _q_repetition,
         "audio_features": _q_audio_features,
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
+        "split_corpus": _q_split_corpus,
         "curate_corpus": _q_curate_corpus,
         "tpch_q4_priority": _q_tpch_q4,
         "tpch_q19_disc": _q_tpch_q19,
@@ -2895,6 +2926,39 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             GROUP BY conv_id, sid
         """,
+        "unk_rare_tokens": """
+            WITH arrs AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            tok AS (
+              SELECT doc_id, gs AS pos, arr[gs] AS tok
+              FROM arrs, LATERAL unnest(generate_series(1, len(arr))) AS t(gs)
+            ),
+            kept AS (
+              SELECT tok FROM tok GROUP BY tok
+              HAVING count(DISTINCT doc_id) >= 385
+            ),
+            rep AS (
+              SELECT t.doc_id, t.pos,
+                     CASE WHEN k.tok IS NOT NULL THEN t.tok ELSE '<unk>' END AS tok2
+              FROM tok t LEFT JOIN kept k ON t.tok = k.tok
+            )
+            SELECT doc_id,
+                   string_agg(tok2, ' ' ORDER BY pos) AS pruned_text,
+                   count(*)::BIGINT AS n_tokens,
+                   sum(CASE WHEN tok2 = '<unk>' THEN 1 ELSE 0 END)::BIGINT AS n_unk
+            FROM rep GROUP BY doc_id
+        """,
+        "chunk_documents": """
+            SELECT doc_id,
+                   ((gs - 1) / 96)::INT AS chunk_idx,
+                   (gs - 1)::INT AS chunk_start,
+                   substring(text, gs, 128) AS chunk_text
+            FROM documents,
+                 LATERAL unnest(generate_series(1, length(text), 96)) AS t(gs)
+            WHERE text IS NOT NULL AND length(text) > 0
+        """,
         "pack_documents": """
             WITH t AS (
               SELECT doc_id,
@@ -3072,6 +3136,17 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 'fr' THEN 'g'
                     ELSE '19999999'
                   END
+        """,
+        # cumulative thresholds: 0.8*2^32 = 0xcccccccc, 0.9*2^32 = 0xe6666666
+        "split_corpus": """
+            SELECT doc_id, lang,
+                   CASE WHEN substring(md5(doc_id::VARCHAR || ':split-v1'), 1, 8) < 'cccccccc'
+                             THEN 'train'
+                        WHEN substring(md5(doc_id::VARCHAR || ':split-v1'), 1, 8) < 'e6666666'
+                             THEN 'val'
+                        ELSE 'test'
+                   END AS split
+            FROM documents
         """,
         "contamination": """
             WITH w AS (

@@ -102,3 +102,40 @@ def shard_manifest(
         F.sum(F.length(F.col(text_col))).alias("n_chars"),
         F.sum(token_count_col(F.col(text_col))).alias("n_tokens"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split each document into overlapping fixed-width character windows
+    — the context-window chunking step of a retrieval/training pipeline
+    (chunk i starts at i*(chunk_chars - overlap); the final chunk may be
+    short). Emits (id, chunk_idx, chunk_start, chunk_text); empty/NULL
+    documents produce no chunks.
+
+    Map-only: chunk starts come from ``sequence`` + ``posexplode`` and
+    each chunk is a ``substring`` of the source row — no shuffle, no UDF,
+    and the fan-out is bounded by len/stride per row, so a long document
+    amplifies its own partition only (cap upstream with the pipeline's
+    document length cap, not here).
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    t = F.col(text_col)
+    starts = F.sequence(F.lit(0), F.length(t) - 1, F.lit(stride))
+    exploded = docs.filter(t.isNotNull() & (F.length(t) > 0)).select(
+        F.col(id_col),
+        t.alias("_text"),
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        "chunk_start",
+        F.col("_text").substr(F.col("chunk_start") + 1, F.lit(chunk_chars)).alias("chunk_text"),
+    )

@@ -100,3 +100,35 @@ def mixture_weights(
         F.round(weight, 6).alias("weight"),
         F.round(weight / share, 6).alias("boost"),
     )
+
+
+def split_corpus(
+    docs: DataFrame,
+    splits: list[tuple[str, float]] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's salted-md5
+    bucket lands in one of the cumulative-weight intervals and the row
+    gains a ``split`` label. Weights must sum to 1. The standard
+    holdout-split step of a training pipeline, with the properties
+    DataFrame.randomSplit lacks: reproducible across runs, engines, and
+    partitionings, and stable under corpus growth (an existing row never
+    changes split when new rows arrive — no leakage of old validation
+    docs into train).
+
+    Map-only column math fused into the scan, like stratified_sample;
+    the label is a pure function of (key, salt)."""
+    splits = splits or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = sample_bucket_col(key_col, salt)
+    chain = None
+    cum = 0.0
+    for name, weight in splits[:-1]:
+        cum += weight
+        th = F.lit(_threshold_hex(cum))
+        chain = F.when(bucket < th, name) if chain is None else chain.when(bucket < th, name)
+    label = chain.otherwise(splits[-1][0]) if chain is not None else F.lit(splits[-1][0])
+    return docs.withColumn("split", label)

@@ -333,3 +333,54 @@ def ngram_vocab_stats(
             F.round(F.col("distinct_grams") / F.col("total_grams"), 6).alias("ttr"),
         )
     )
+
+
+def replace_rare_tokens(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    unk: str = "<unk>",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Vocabulary pruning: replace every token whose DOCUMENT frequency
+    is below ``min_df`` with ``unk`` and reassemble each document in
+    original token order. Returns (id, pruned_text, n_tokens, n_unk) —
+    the rare-token UNKing step of a tokenizer/LM training pipeline.
+
+    Shape: whitespace posexplode -> partial-aggregable document-frequency
+    count -> join the KEPT vocabulary back (the kept set, not the rare
+    long tail, is the small side; broadcast it when it fits, else it's a
+    plain shuffle join on the token — skew on stopword tokens is probe-
+    side only, which AQE splits) -> per-document reassembly with a
+    position-sorted collect_list, whose state is bounded by one
+    document's length. Documents with no tokens are dropped (same rule
+    as token_count_col's zero case).
+    """
+    trimmed = F.trim(F.col(text_col))
+    toks = docs.filter(F.length(trimmed) > 0).select(
+        F.col(id_col), F.posexplode(F.split(trimmed, r"\s+")).alias("pos", "tok")
+    )
+    kept = (
+        toks.groupBy("tok")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("tok", F.lit(1).alias("_keep"))
+    )
+    if broadcast_vocab:
+        kept = F.broadcast(kept)
+    rep = toks.join(kept, "tok", "left").select(
+        id_col,
+        "pos",
+        F.when(F.col("_keep").isNotNull(), F.col("tok")).otherwise(F.lit(unk)).alias("tok2"),
+    )
+    return rep.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok2"))), lambda x: x["tok2"]
+            ),
+        ).alias("pruned_text"),
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("tok2") == unk, 1).otherwise(0)).alias("n_unk"),
+    )

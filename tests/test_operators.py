@@ -817,3 +817,75 @@ def test_quantize_embeddings_hand_vectors(spark):
         )
     ).count()
     assert bad == 0
+
+
+def test_chunk_documents_windows(spark):
+    from knowledge_graph_builder_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, ""), (3, None), (4, "xy")],
+        "doc_id int, text string",
+    )
+    out = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_start, r.chunk_text)
+        for r in chunk_documents(df, chunk_chars=4, overlap=1).collect()
+    )
+    # stride 3: starts 0,3,6,9; final chunk short; empty/NULL drop
+    assert out == [
+        (1, 0, 0, "abcd"),
+        (1, 1, 3, "defg"),
+        (1, 2, 6, "ghij"),
+        (1, 3, 9, "j"),
+        (4, 0, 0, "xy"),
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=4, overlap=4)
+
+
+def test_replace_rare_tokens_reassembly(spark):
+    from knowledge_graph_builder_spark.operators.textstats import replace_rare_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "  "),
+        ],
+        "doc_id int, text string",
+    )
+    # df counts: the=2, sat=2, cat/on/mat/dog=1 -> UNK at min_df=2;
+    # duplicate 'the' keeps both positions; blank doc drops
+    out = {r.doc_id: r for r in replace_rare_tokens(df, min_df=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].pruned_text == "the <unk> sat <unk> the <unk>"
+    assert (out[1].n_tokens, out[1].n_unk) == (6, 3)
+    assert out[2].pruned_text == "the <unk> sat"
+    assert (out[2].n_tokens, out[2].n_unk) == (3, 1)
+
+
+def test_split_corpus_deterministic_and_stable(spark):
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_builder_spark.operators.sampling import split_corpus
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    out = split_corpus(df)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # uniform md5 buckets: 80/10/10 within a loose tolerance at n=2000
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    assert abs(counts["val"] / 2000 - 0.1) < 0.03
+
+    # growth stability: the first 1000 docs keep their labels when the
+    # corpus doubles (the no-leakage property randomSplit lacks)
+    small = {r.doc_id: r.split for r in split_corpus(df.filter(F.col("doc_id") < 1000)).collect()}
+    big = {r.doc_id: r.split for r in out.filter(F.col("doc_id") < 1000).collect()}
+    assert small == big
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        split_corpus(df, splits=[("train", 0.8), ("val", 0.3)])
