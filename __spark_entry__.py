@@ -477,6 +477,46 @@ def _q_chunk_documents(spark, sf_dir):
     )
 
 
+def _q_streaming_enrich(spark, sf_dir):
+    # stream-stream inner join under a VALUE oracle: purchase events form
+    # a flag stream that enriches the turn stream within a 1-hour
+    # event-time horizon. Inner-join emission is monotone (each match
+    # emits exactly once when both sides have arrived), and the watermark
+    # spans the whole corpus, so the emitted set equals the batch join
+    # regardless of file batching.
+    import tempfile
+
+    from knowledge_graph_builder_spark.streaming.incremental import stream_enrich_join
+
+    ev = _t(spark, sf_dir, "events")
+    tr = ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit("").alias("tool"),
+        F.col("ts"),
+    )
+    flags = ev.filter(F.col("event_type") == "purchase").select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("props").alias("flag"),
+        F.col("ts").alias("flag_ts"),
+    )
+    base = tempfile.mkdtemp(prefix="kgb_stream_join_")
+    tin, fin, out_dir, ckpt = f"{base}/turns", f"{base}/flags", f"{base}/out", f"{base}/ckpt"
+    tr.write.mode("overwrite").parquet(tin)
+    flags.write.mode("overwrite").parquet(fin)
+    q = stream_enrich_join(spark, tin, fin, out_dir, ckpt, horizon="1 hour", watermark="45 days")
+    q.awaitTermination(600)
+    return spark.read.parquet(f"{out_dir}/enriched").select(
+        "conv_id",
+        "turn_idx",
+        "flag",
+        F.unix_micros("turn_ts").alias("turn_ts_us"),
+        F.unix_micros("flag_ts").alias("flag_ts_us"),
+    )
+
+
 def _q_pack_documents(spark, sf_dir):
     # training-data sequence packing: contiguous-fill within deterministic
     # shards — the one window is per-shard, never corpus-global
@@ -1617,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": _q_winnow_pairs,
         "streaming_turn_stats": _q_streaming_stats,
         "streaming_sessions": _q_streaming_sessions,
+        "streaming_enrich_join": _q_streaming_enrich,
         "pack_documents": _q_pack_documents,
         "unk_rare_tokens": _q_unk_rare_tokens,
         "chunk_documents": _q_chunk_documents,
@@ -2894,6 +2935,25 @@ def oracle_sql() -> dict[str, str]:
                    max(length(props))::INT AS max_len
             FROM events
             GROUP BY 1, 2
+        """,
+        # stream-stream inner join twin: the plain time-range batch join
+        "streaming_enrich_join": """
+            WITH tr AS (
+              SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+                     event_id::INT AS turn_idx, ts AS turn_ts
+              FROM events
+            ),
+            fl AS (
+              SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+                     props AS flag, ts AS flag_ts
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT tr.conv_id, tr.turn_idx, fl.flag,
+                   epoch_us(tr.turn_ts) AS turn_ts_us,
+                   epoch_us(fl.flag_ts) AS flag_ts_us
+            FROM tr JOIN fl ON tr.conv_id = fl.conv_id
+                           AND tr.turn_ts >= fl.flag_ts - INTERVAL 1 HOUR
+                           AND tr.turn_ts <= fl.flag_ts
         """,
         # streaming session_window twin: lag/sum sessionization, one row
         # per (conv_id, session); new session when the gap since the

@@ -342,3 +342,53 @@ def stream_dedup_turns(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_enrich_join(
+    spark: SparkSession,
+    turns_path: str,
+    flags_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    horizon: str = "1 hour",
+    watermark: str = "1 hour",
+):
+    """Stream-stream INNER join: each flag row (conv_id, flag, ts) attaches
+    to every turn of the same conversation in the ``horizon`` window ending
+    at the flag (turn.ts in [flag.ts - horizon, flag.ts]) — the streaming
+    enrichment pattern (moderation flags, quality labels, abuse signals
+    arriving on their own feed and joining the turn stream in flight).
+
+    Scale/state shape: BOTH sides carry watermarks and the join condition
+    carries an explicit event-time range, which is what lets Spark expire
+    buffered rows — each side's state holds only rows newer than
+    (watermark - horizon), not stream history. Inner-join emission is
+    monotone (a match emits exactly once, when both sides have arrived),
+    so the final emitted set is independent of how files batch into
+    micro-batches — the property the driver's value oracle relies on.
+    """
+    turns = (
+        read_transcript_stream(spark, turns_path)
+        .select("conv_id", "turn_idx", "text", F.col("ts").alias("turn_ts"))
+        .withWatermark("turn_ts", watermark)
+    )
+    flags = (
+        spark.readStream.schema("conv_id string, flag string, flag_ts timestamp")
+        .parquet(flags_path)
+        .withWatermark("flag_ts", watermark)
+    )
+    joined = turns.join(
+        flags,
+        (turns["conv_id"] == flags["conv_id"])
+        & (F.col("turn_ts") >= F.col("flag_ts") - F.expr(f"INTERVAL {horizon}"))
+        & (F.col("turn_ts") <= F.col("flag_ts")),
+        "inner",
+    ).select(turns["conv_id"], "turn_idx", "flag", "turn_ts", "flag_ts")
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", f"{output_dir}/enriched")
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -271,3 +271,39 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     }
     assert got == exp
     assert len(got) == 3  # c1 x2 + c2 x1
+
+
+def test_stream_enrich_join_matches_batch(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_builder_spark.schema import TRANSCRIPTS
+    from knowledge_graph_builder_spark.streaming.incremental import stream_enrich_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def turn(conv, idx, offset_s):
+        return (conv, idx, "user", f"t{idx}", "", base + dt.timedelta(seconds=offset_s))
+
+    turns = [
+        turn("c1", 0, 0),
+        turn("c1", 1, 1800),  # inside the 1h window before the c1 flag
+        turn("c1", 2, 7200),  # after the flag: no match
+        turn("c2", 0, 0),  # different conversation: no match
+    ]
+    flags = [("c1", "review", base + dt.timedelta(seconds=3600))]
+    tin, fin = str(tmp_path / "tin"), str(tmp_path / "fin")
+    # turns split across two files so the join must buffer across batches
+    spark.createDataFrame(turns[:2], TRANSCRIPTS).coalesce(1).write.parquet(tin)
+    spark.createDataFrame(turns[2:], TRANSCRIPTS).coalesce(1).write.mode("append").parquet(tin)
+    spark.createDataFrame(flags, "conv_id string, flag string, flag_ts timestamp").write.parquet(fin)
+
+    out, ckpt = str(tmp_path / "eout"), str(tmp_path / "eckpt")
+    q = stream_enrich_join(spark, tin, fin, out, ckpt, horizon="1 hour", watermark="1 day")
+    q.awaitTermination(120)
+    got = {
+        (r.conv_id, r.turn_idx, r.flag)
+        for r in spark.read.parquet(f"{out}/enriched").collect()
+    }
+    assert got == {("c1", 0, "review"), ("c1", 1, "review")}

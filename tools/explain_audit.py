@@ -107,6 +107,20 @@ def main(sf_dir: str) -> int:
     pm = plan_of(entry.queries()["mixture_weights"](spark, sf_dir))
     check("mixture_weights aggregates the corpus once", pm.count("Scan parquet") == 1, pm[:400])
 
+    # 7) this session's curation/graph/quantization additions
+    pch = plan_of(entry.queries()["chunk_documents"](spark, sf_dir))
+    check("chunk_documents is map-only (no exchange)", "Exchange" not in pch, pch[:400])
+    psp = plan_of(entry.queries()["split_corpus"](spark, sf_dir))
+    check("split_corpus is map-only (no exchange)", "Exchange" not in psp)
+    pqe = plan_of(entry.queries()["quantize_embeddings"](spark, sf_dir))
+    check("quantize_embeddings is map-only (no exchange)", "Exchange" not in pqe, pqe[:400])
+    pun = plan_of(entry.queries()["unk_rare_tokens"](spark, sf_dir))
+    check("unk_rare_tokens broadcasts the kept vocab", "BroadcastHashJoin" in pun, pun[:400])
+    check("unk_rare_tokens has no nested-loop join", "CartesianProduct" not in pun)
+    p9 = plan_of(entry.queries()["tpch_q9_profit"](spark, sf_dir))
+    check("q9 broadcasts part + supplier dims", p9.count("BroadcastHashJoin") >= 2, p9[:400])
+    check("q9 has no cartesian product", "CartesianProduct" not in p9)
+
     spark.stop()
     print(f"\n{len(failures)} failures")
     return 1 if failures else 0
