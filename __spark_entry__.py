@@ -534,6 +534,34 @@ def _q_split_corpus(spark, sf_dir):
     return split_corpus(_t(spark, sf_dir, "documents")).select("doc_id", "lang", "split")
 
 
+def _q_weighted_sample(spark, sf_dir):
+    # Efraimidis-Spirakis weighted sampling without replacement: 20 docs
+    # per language, inclusion odds proportional to n_chars; per-stratum
+    # top-k by ln(u)/w with the rank filter pushed into the sort
+    from knowledge_graph_builder_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents"), k=20, weight_col="n_chars", strata_col="lang"
+    ).select("doc_id", "lang", "n_chars", "sample_rank")
+
+
+def _q_snapshot_diff(spark, sf_dir):
+    # CDC-style snapshot diff: a derived second snapshot (every 11th doc
+    # removed, every 7th text revised, 50 new ids appended) diffed against
+    # the original — one full-outer key join, null-safe value compare
+    from knowledge_graph_builder_spark.operators.joins import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 11 != 0)
+    mod = base.withColumn(
+        "text", F.when(F.col("doc_id") % 7 == 0, F.lit("REVISED")).otherwise(F.col("text"))
+    )
+    added = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return snapshot_diff(docs, mod.unionByName(added), ["doc_id"])
+
+
 def _q_curate_corpus(spark, sf_dir):
     # composed curation chain with per-doc disposition lineage:
     # quality gates -> exact dedup -> stratified sample, one shuffle
@@ -1666,6 +1694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
         "split_corpus": _q_split_corpus,
+        "weighted_sample": _q_weighted_sample,
+        "snapshot_diff": _q_snapshot_diff,
         "curate_corpus": _q_curate_corpus,
         "tpch_q4_priority": _q_tpch_q4,
         "tpch_q19_disc": _q_tpch_q19,
@@ -3196,6 +3226,46 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 'fr' THEN 'g'
                     ELSE '19999999'
                   END
+        """,
+        # A-ES key ln(u)/w with u = (md5 bucket + 0.5) / 2^32 — identical
+        # IEEE doubles in both engines, so ranks agree
+        "weighted_sample": """
+            WITH s AS (
+              SELECT doc_id, lang, n_chars,
+                     ln((('0x' || substring(md5(doc_id::VARCHAR || ':es-v1'), 1, 8))::UBIGINT
+                         + 0.5) / 4294967296.0) / n_chars AS es_key
+              FROM documents WHERE n_chars > 0
+            ),
+            r AS (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id)::INT
+                       AS sample_rank
+              FROM s
+            )
+            SELECT doc_id, lang, n_chars, sample_rank FROM r WHERE sample_rank <= 20
+        """,
+        "snapshot_diff": """
+            WITH newsnap AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN 'REVISED' ELSE text END AS text,
+                     lang, source, n_chars
+              FROM documents WHERE doc_id % 11 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, text, lang, source, n_chars
+              FROM documents WHERE doc_id < 50
+            ),
+            d AS (
+              SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+                     CASE WHEN o.doc_id IS NULL THEN 'added'
+                          WHEN n.doc_id IS NULL THEN 'removed'
+                          WHEN (n.text IS DISTINCT FROM o.text)
+                               OR (n.lang IS DISTINCT FROM o.lang)
+                               OR (n.source IS DISTINCT FROM o.source)
+                               OR (n.n_chars IS DISTINCT FROM o.n_chars)
+                          THEN 'changed' END AS change
+              FROM newsnap n FULL OUTER JOIN documents o ON n.doc_id = o.doc_id
+            )
+            SELECT doc_id, change FROM d WHERE change IS NOT NULL
         """,
         # cumulative thresholds: 0.8*2^32 = 0xcccccccc, 0.9*2^32 = 0xe6666666
         "split_corpus": """

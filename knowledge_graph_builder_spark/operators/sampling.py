@@ -132,3 +132,39 @@ def split_corpus(
         chain = F.when(bucket < th, name) if chain is None else chain.when(bucket < th, name)
     label = chain.otherwise(splits[-1][0]) if chain is not None else F.lit(splits[-1][0])
     return docs.withColumn("split", label)
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    strata_col: str | None = None,
+    key_col: str = "doc_id",
+    salt: str = "es-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws u from its salted-md5 bucket and the
+    k rows with the largest u^(1/weight) win — inclusion probability
+    proportional to weight, reproducible across engines/partitionings.
+    ``strata_col`` makes it per-stratum (e.g. k docs per language,
+    length-weighted). Rows with weight <= 0 are excluded. Adds
+    ``sample_rank`` (1-based within stratum).
+
+    Ranking uses ln(u)/w (monotone in u^(1/w); u offset by half a bucket
+    so ln never sees 0). Scale shape: the selection is a per-stratum
+    top-k — Spark's WindowGroupLimit pushes the rank<=k filter into the
+    sort, so each partition keeps k candidates rather than sorting the
+    stratum (the same mechanics as TakeOrderedAndProject), and the weight
+    draw itself is map-only column math.
+    """
+    v = F.conv(sample_bucket_col(key_col, salt), 16, 10).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(float(_HEX_SPACE))
+    part = [strata_col] if strata_col else []
+    w = Window.partitionBy(*part).orderBy(F.col("_es_key").desc(), F.col(key_col))
+    return (
+        docs.filter(F.col(weight_col) > 0)
+        .withColumn("_es_key", F.log(u) / F.col(weight_col))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("_es_key")
+    )

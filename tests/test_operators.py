@@ -889,3 +889,44 @@ def test_split_corpus_deterministic_and_stable(spark):
 
     with _pytest.raises(ValueError):
         split_corpus(df, splits=[("train", 0.8), ("val", 0.3)])
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_builder_spark.operators.sampling import weighted_sample
+
+    # two weight classes, 10:1 — heavy rows must dominate the sample
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 10.0).otherwise(1.0).alias("w"),
+    )
+    out = weighted_sample(df, k=400, weight_col="w")
+    assert out.count() == 400
+    heavy = out.filter(F.col("w") == 10.0).count()
+    # E[heavy] ~ 364 of 400; loose bound well off the unweighted 200
+    assert heavy > 300
+    # deterministic: same call, same sample, rank is 1..k
+    again = weighted_sample(df, k=400, weight_col="w")
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+    assert out.agg(F.min("sample_rank"), F.max("sample_rank")).first() == (1, 400)
+    # zero/negative weights never selected
+    df2 = df.withColumn("w", F.when(F.col("doc_id") < 3999, 0.0).otherwise(-1.0))
+    assert weighted_sample(df2, k=10, weight_col="w").count() == 0
+
+
+def test_snapshot_diff_labels(spark):
+    from knowledge_graph_builder_spark.operators.joins import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k int, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, "c", 30), (5, "e", 50)],
+        "k int, s string, v int",
+    )
+    got = {(r.k, r.change) for r in snapshot_diff(old, new, ["k"]).collect()}
+    # 1 unchanged (dropped); 2 changed (s); 3 changed (NULL->30, null-safe);
+    # 4 removed; 5 added
+    assert got == {(2, "changed"), (3, "changed"), (4, "removed"), (5, "added")}

@@ -120,6 +120,14 @@ def main(sf_dir: str) -> int:
     p9 = plan_of(entry.queries()["tpch_q9_profit"](spark, sf_dir))
     check("q9 broadcasts part + supplier dims", p9.count("BroadcastHashJoin") >= 2, p9[:400])
     check("q9 has no cartesian product", "CartesianProduct" not in p9)
+    pws = plan_of(entry.queries()["weighted_sample"](spark, sf_dir))
+    check("weighted_sample pushes rank<=k into the sort (WindowGroupLimit)",
+          "WindowGroupLimit" in pws, pws[:400])
+    check("weighted_sample shuffles once (stratum window)",
+          pws.count("Exchange hashpartitioning") == 1)
+    psd = plan_of(entry.queries()["snapshot_diff"](spark, sf_dir))
+    check("snapshot_diff joins hash-wise, not nested-loop",
+          "CartesianProduct" not in psd and "BroadcastNestedLoopJoin" not in psd, psd[:400])
 
     spark.stop()
     print(f"\n{len(failures)} failures")
