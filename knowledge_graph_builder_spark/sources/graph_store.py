@@ -39,10 +39,25 @@ from pyspark.sql.window import Window
 
 
 class GraphStore:
-    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 64):
+    """``keep_history=False`` (default) stores last-writer rows only —
+    upserts dedup at write time. ``keep_history=True`` retains every
+    written version (Iceberg-snapshot-flavored): writes append versions,
+    current-state reads dedup with the keyed last-writer window, and
+    ``nodes_as_of(seq)`` / ``edges_as_of(seq)`` reconstruct the exact
+    MERGE state after batch ``seq`` — point-in-time reads for audits and
+    incremental debugging (the reference only keeps created_at/updated_at
+    audit columns, graph_db.py:82-83; this generalizes them). The
+    tradeoff is explicit: history mode defers the dedup window from one
+    write to every read, and the store grows with versions until
+    ``clear_session`` (a physical rewrite) compacts it."""
+
+    def __init__(
+        self, spark: SparkSession, root: str, n_buckets: int = 64, keep_history: bool = False
+    ):
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
+        self.keep_history = keep_history
         os.makedirs(root, exist_ok=True)
 
     def _path(self, table: str) -> str:
@@ -82,18 +97,22 @@ class GraphStore:
         new = new.withColumn("_bucket", self._bucket_col(key_cols))
         existing = self._read(table)
 
+        # history mode appends versions verbatim; last-writer resolution
+        # happens at read time instead of write time
+        dedup = (lambda df: df) if self.keep_history else (lambda df: self._dedup(df, key_cols))
+
         if existing is not None and not self._is_bucketed(table):
             # one-time migration of a legacy (unbucketed) table: full merge
             # + full bucketed rewrite, after which upserts are incremental
             if "_bucket" not in existing.columns:
                 existing = existing.withColumn("_bucket", self._bucket_col(key_cols))
-            merged = self._dedup(existing.unionByName(new), key_cols)
+            merged = dedup(existing.unionByName(new))
             self._swap_in(merged, table, partition_by="_bucket")
             return
 
         if existing is None:
             # within-batch duplicate keys still need the keyed dedup
-            self._swap_in(self._dedup(new, key_cols), table, partition_by="_bucket")
+            self._swap_in(dedup(new), table, partition_by="_bucket")
             return
 
         # incremental path: touch only the buckets present in this batch.
@@ -105,7 +124,7 @@ class GraphStore:
         # partition pruning: the filter on the partition column means only
         # the touched bucket directories are ever read
         old_touched = existing.filter(F.col("_bucket").isin(touched))
-        merged = self._dedup(old_touched.unionByName(new), key_cols)
+        merged = dedup(old_touched.unionByName(new))
 
         final = self._path(table)
         staging = f"{final}._staging-{uuid.uuid4().hex[:8]}"
@@ -165,13 +184,39 @@ class GraphStore:
         """MERGE on (src, type, dst) — graph_db.py:121-145."""
         self._upsert(edges, "edges", ["src", "type", "dst"])
 
+    def _current(self, table: str, key_cols: list[str], as_of_seq: int | None = None) -> DataFrame | None:
+        df = self._read(table)
+        if df is None:
+            return None
+        if as_of_seq is not None:
+            if not self.keep_history:
+                raise ValueError("time travel requires keep_history=True")
+            df = df.filter(F.col("_batch_seq") <= as_of_seq)
+        if self.keep_history:
+            df = self._dedup(df, key_cols)
+        return df.drop("_batch_seq", "_bucket")
+
     def nodes(self) -> DataFrame:
-        df = self._read("nodes")
-        return df.drop("_batch_seq", "_bucket") if df is not None else None
+        return self._current("nodes", ["name", "type"])
 
     def edges(self) -> DataFrame:
-        df = self._read("edges")
-        return df.drop("_batch_seq", "_bucket") if df is not None else None
+        return self._current("edges", ["src", "type", "dst"])
+
+    def nodes_as_of(self, seq: int) -> DataFrame:
+        """Point-in-time MERGE state of the node table after batch ``seq``
+        (keep_history mode only)."""
+        return self._current("nodes", ["name", "type"], as_of_seq=seq)
+
+    def edges_as_of(self, seq: int) -> DataFrame:
+        return self._current("edges", ["src", "type", "dst"], as_of_seq=seq)
+
+    def current_seq(self, table: str) -> int:
+        """Last claimed batch sequence (-1 for an empty store)."""
+        path = self._path(table) + ".seq"
+        if not os.path.exists(path):
+            return -1
+        with open(path) as fh:
+            return int(fh.read().strip() or 0)
 
     def clear_session(self, session_id: str) -> None:
         """S8 — delete every node/edge of one session (graph_db.py:147-151).

@@ -930,3 +930,40 @@ def test_snapshot_diff_labels(spark):
     # 1 unchanged (dropped); 2 changed (s); 3 changed (NULL->30, null-safe);
     # 4 removed; 5 added
     assert got == {(2, "changed"), (3, "changed"), (4, "removed"), (5, "added")}
+
+
+def test_graph_store_time_travel(spark, tmp_path):
+    import pytest as _pytest
+
+    from knowledge_graph_builder_spark.sources.graph_store import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "hist"), n_buckets=4, keep_history=True)
+    n1 = spark.createDataFrame(
+        [("Apple", "ORG", "s1"), ("Jobs", "PERSON", "s1")], "name string, type string, session_id string"
+    )
+    store.upsert_nodes(n1)
+    seq1 = store.current_seq("nodes")
+    n2 = spark.createDataFrame(
+        [("Apple", "ORG", "s2"), ("iPhone", "PRODUCT", "s2")], "name string, type string, session_id string"
+    )
+    store.upsert_nodes(n2)
+
+    # current state: last writer per key, 3 distinct keys
+    cur = {(r.name, r.session_id) for r in store.nodes().collect()}
+    assert cur == {("Apple", "s2"), ("Jobs", "s1"), ("iPhone", "s2")}
+    # as-of the first batch: Apple still s1, no iPhone yet
+    past = {(r.name, r.session_id) for r in store.nodes_as_of(seq1).collect()}
+    assert past == {("Apple", "s1"), ("Jobs", "s1")}
+    # before any batch: empty
+    assert store.nodes_as_of(seq1 - 1).count() == 0
+
+    # a last-writer-only store refuses time travel instead of lying
+    flat = GraphStore(spark, str(tmp_path / "flat"), n_buckets=4)
+    flat.upsert_nodes(n1)
+    with _pytest.raises(ValueError):
+        flat.nodes_as_of(0)
+    # and its current read is unaffected (write-time dedup path)
+    assert {(r.name, r.session_id) for r in flat.nodes().collect()} == {
+        ("Apple", "s1"),
+        ("Jobs", "s1"),
+    }
