@@ -80,3 +80,54 @@ def test_different_input_same_run_id_recomputes(spark, tmp_path):
     r2 = run_pipeline(spark, b, checkpoint_dir=ckpt, run_id="r1")
     assert all(not row.get("resumed") for row in r2.lineage)
     assert len(_triples(r2)) > n1
+
+
+def test_incremental_update_matches_full_recompute(spark, tmp_path):
+    """Edit one conversation and add another between snapshots: the
+    incremental path must reprocess exactly those two and leave the store
+    equal to a full recompute of the new snapshot."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_builder_spark.plans.incremental import incremental_update
+    from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
+    from knowledge_graph_builder_spark.sources.graph_store import GraphStore
+    from knowledge_graph_builder_spark.sources.synth import golden_transcripts
+
+    v1 = golden_transcripts(spark)
+    # v2: one conversation's turn edited (g2 gains a new founder triple
+    # sentence), one brand-new conversation appended
+    edit = F.when(
+        (F.col("conv_id") == "g2") & (F.col("turn_idx") == 0),
+        F.lit("Steve Jobs founded Apple in 1976."),
+    ).otherwise(F.col("text"))
+    new_conv = v1.filter(F.col("conv_id") == "g1").withColumn(
+        "conv_id", F.lit("g-new")
+    )
+    v2 = v1.withColumn("text", edit).unionByName(new_conv)
+
+    # incremental store: v1 fully, then the v1->v2 delta
+    inc_store = GraphStore(spark, str(tmp_path / "inc"), n_buckets=4)
+    res1 = run_pipeline(spark, v1, persist=False)
+    inc_store.upsert_nodes(res1.nodes)
+    inc_store.upsert_edges(res1.edges)
+    report = incremental_update(spark, inc_store, v1, v2)
+    assert report.n_changed_convs == 2  # g2 (edited) + g-new (added)
+    assert report.n_removed_convs == 0
+
+    # full recompute of v2 into a fresh store
+    full_store = GraphStore(spark, str(tmp_path / "full"), n_buckets=4)
+    res2 = run_pipeline(spark, v2, persist=False)
+    full_store.upsert_nodes(res2.nodes)
+    full_store.upsert_edges(res2.edges)
+
+    inc_edges = {(r.src, r.type, r.dst) for r in inc_store.edges().collect()}
+    full_edges = {(r.src, r.type, r.dst) for r in full_store.edges().collect()}
+    assert inc_edges == full_edges
+    inc_nodes = {(r.name, r.type) for r in inc_store.nodes().collect()}
+    full_nodes = {(r.name, r.type) for r in full_store.nodes().collect()}
+    assert inc_nodes == full_nodes
+
+    # removal detection: dropping a conversation reports it, upserts nothing
+    v3 = v2.filter(F.col("conv_id") != "g-new")
+    report2 = incremental_update(spark, inc_store, v2, v3)
+    assert report2.n_changed_convs == 0 and report2.n_removed_convs == 1
