@@ -998,6 +998,41 @@ def _q_cosine_neardup(spark, sf_dir):
     )
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    # SemDeDup-style semantic dedup (operators/dedup.py:semantic_duplicates):
+    # cluster embeddings, then near-dup detection only within a cluster.
+    # For oracle parity the assignment here is nearest-of-8-seed-centroids
+    # (the 8 lowest-vec_id vectors) by EXPANDED squared distance
+    # |v|^2 - 2 v.c + |c|^2 rounded to 6dp — both engines sum doubles
+    # left-to-right, and the rounding absorbs any summation residue; ties
+    # keep the lowest cluster index on both sides. The production path
+    # composes ivf_train's Lloyd centroids instead (test-pinned).
+    from knowledge_graph_builder_spark.operators.dedup import semantic_duplicates
+    from knowledge_graph_builder_spark.operators.similarity import dot_col
+
+    e = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    seeds = [
+        list(r["v"])
+        for r in e.select(F.col("vec_id").alias("i"), vec.alias("v")).orderBy("i").limit(8).collect()
+    ]
+    vv = dot_col(vec, vec)
+    best_idx, best_d = F.lit(0), None
+    for i, c in enumerate(seeds):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.round(vv - 2 * dot_col(vec, carr) + F.lit(float(sum(x * x for x in c))), 6)
+        if best_d is None:
+            best_d = d
+        else:
+            best_idx = F.when(d < best_d, F.lit(i)).otherwise(best_idx)
+            best_d = F.least(d, best_d)
+    assigned = e.select("vec_id", best_idx.alias("cluster"), vec.alias("v"))
+    dropped = semantic_duplicates(assigned, threshold=0.2)
+    return dropped.select(
+        "vec_id", "cluster", "dup_of", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def _q_quality_flags(spark, sf_dir):
     # quality scoring: length band + punct sanity + stopword presence
     from knowledge_graph_builder_spark.operators import textstats as ts
@@ -1716,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "ngram_jaccard": _q_ngram_jaccard,
         "cosine_neardup": _q_cosine_neardup,
+        "semantic_dedup": _q_semantic_dedup,
         "quality_flags": _q_quality_flags,
         "health": _q_health,
         "word_freq_topk": _q_word_freq,
@@ -2778,6 +2814,38 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_dot_product(a.emb, b.emb)
                   / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.2
+        """,
+        "semantic_dedup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+            seeds AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, emb
+                FROM e ORDER BY vec_id LIMIT 8
+            ),
+            dist AS (
+                SELECT e.vec_id, s.cluster,
+                       round(list_dot_product(e.emb, e.emb)
+                             - 2 * list_dot_product(e.emb, s.emb)
+                             + list_dot_product(s.emb, s.emb), 6) AS d
+                FROM e CROSS JOIN seeds s
+            ),
+            assigned AS (
+                SELECT vec_id, cluster FROM (
+                    SELECT vec_id, cluster,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+                    FROM dist) WHERE rn = 1
+            ),
+            m AS (SELECT a.vec_id, a.cluster, e.emb FROM assigned a JOIN e USING (vec_id)),
+            pairs AS (
+                SELECT x.vec_id AS a, y.vec_id AS b, x.cluster,
+                       list_dot_product(x.emb, y.emb)
+                       / (sqrt(list_dot_product(x.emb, x.emb))
+                          * sqrt(list_dot_product(y.emb, y.emb))) AS cos_raw
+                FROM m x JOIN m y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+            )
+            SELECT b AS vec_id, cluster, min(a) AS dup_of,
+                   round(arg_min(cos_raw, a), 4) AS cosine
+            FROM pairs WHERE cos_raw >= 0.2
+            GROUP BY b, cluster
         """,
         "quality_flags": f"""
             WITH base AS (

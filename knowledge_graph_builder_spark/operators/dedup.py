@@ -244,3 +244,57 @@ def dedup_clusters(
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
         .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def semantic_duplicates(
+    assigned: DataFrame,
+    threshold: float = 0.9,
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    embeddings are clustered first (compose with ``similarity.ivf_train``/
+    ``ivf_assign`` for the trained k-means path — or any assignment), and
+    near-duplicate detection runs ONLY within a cluster. Pair fan-out is
+    sum(cluster_size^2) instead of corpus-quadratic, which is the whole
+    game at 100 TB: k grows with the corpus so cluster width stays
+    bounded, and the join shuffles on the cluster key.
+
+    Drop rule (deterministic): a doc is a duplicate if a SMALLER-id
+    cluster-mate has cosine >= threshold; ``dup_of`` is the smallest such
+    id. Survivors are exactly the docs absent from the output.
+
+    ``assigned``: (vec_id, cluster, v: array<double>) as produced by
+    ``similarity.ivf_assign``. Clusters wider than ``max_cluster`` are
+    count-filtered BEFORE the self-join (the same hot-bucket guard as
+    ``lsh_candidate_pairs`` — a degenerate cluster of boilerplate
+    embeddings must not materialize a quadratic join); the cluster-size
+    frame is tiny (k rows) and broadcasts.
+
+    Returns (vec_id, cluster, dup_of, cosine) for DROPPED docs.
+    """
+    from .similarity import cosine_col
+
+    ok = (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_cluster))
+        .select("cluster")
+    )
+    members = assigned.join(F.broadcast(ok), "cluster")
+    lhs = members.select("cluster", F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    rhs = members.select("cluster", F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    pairs = (
+        lhs.join(rhs, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+    )
+    # min-struct: smallest qualifying a per dropped doc, with that pair's
+    # cosine ((a, b) is unique, so the struct min is unambiguous)
+    best = pairs.groupBy("b", "cluster").agg(F.min(F.struct("a", "cosine")).alias("m"))
+    return best.select(
+        F.col("b").alias("vec_id"),
+        "cluster",
+        F.col("m.a").alias("dup_of"),
+        F.col("m.cosine").alias("cosine"),
+    )

@@ -127,6 +127,55 @@ def test_ivf_narrow_probe_recall(spark, sf_dir="/root/testdata/sf0.001"):
     assert len(set(exact) & set(approx)) >= 2
 
 
+def test_semantic_dedup_production_path(spark):
+    """ivf_train -> ivf_assign -> semantic_duplicates on a hand-built
+    corpus of two tight embedding groups plus one outlier: within-group
+    near-dups are dropped with the smallest-id survivor, cross-group and
+    outlier docs survive."""
+    from knowledge_graph_builder_spark.operators.dedup import semantic_duplicates
+    from knowledge_graph_builder_spark.operators.similarity import ivf_assign, ivf_train
+
+    # group A around (1, 0, 0), group B around (0, 1, 0), outlier (0, 0, 1).
+    # ivf_train seeds from the k lowest ids, so ids 0/1/2 are one
+    # representative per group — the clustering then separates the groups.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.0, 0.0, 1.0]),
+        (10, [0.999, 0.01, 0.0]),
+        (11, [0.998, 0.02, 0.0]),
+        (20, [0.01, 0.999, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = ivf_train(e, k_clusters=3, iters=2)
+    dropped = {
+        r.vec_id: r for r in semantic_duplicates(ivf_assign(e, cents), threshold=0.95).collect()
+    }
+    # 10 and 11 fold into 0; 20 folds into 1; 0, 1, 2 survive
+    assert set(dropped) == {10, 11, 20}
+    assert dropped[10].dup_of == 0 and dropped[11].dup_of == 0
+    assert dropped[20].dup_of == 1
+    assert all(r.cosine >= 0.95 for r in dropped.values())
+
+
+def test_semantic_dedup_hot_cluster_guard(spark):
+    """A degenerate cluster wider than max_cluster is count-filtered out
+    BEFORE the self-join — no quadratic pair blow-up, no dropped rows
+    from that cluster."""
+    from knowledge_graph_builder_spark.operators.dedup import semantic_duplicates
+
+    rows = [(i, 0, [1.0, 0.0]) for i in range(50)] + [
+        (100, 1, [0.0, 1.0]),
+        (101, 1, [0.01, 0.999]),
+    ]
+    assigned = spark.createDataFrame(rows, "vec_id int, cluster int, v array<double>")
+    out = semantic_duplicates(assigned, threshold=0.9, max_cluster=10).collect()
+    # cluster 0 (50 identical members > max_cluster) contributes nothing;
+    # cluster 1 still dedups normally
+    assert {r.vec_id for r in out} == {101}
+    assert out[0].dup_of == 100
+
+
 def test_asof_join_hand_case(spark):
     orders = spark.createDataFrame(
         [(1, _ts(10), "o-a"), (1, _ts(20), "o-b"), (2, _ts(5), "o-c")],

@@ -128,6 +128,11 @@ def main(sf_dir: str) -> int:
     psd = plan_of(entry.queries()["snapshot_diff"](spark, sf_dir))
     check("snapshot_diff joins hash-wise, not nested-loop",
           "CartesianProduct" not in psd and "BroadcastNestedLoopJoin" not in psd, psd[:400])
+    psem = plan_of(entry.queries()["semantic_dedup"](spark, sf_dir))
+    check("semantic_dedup broadcasts the cluster-size guard",
+          "BroadcastHashJoin" in psem, psem[:400])
+    check("semantic_dedup pair join is hash on cluster, not nested-loop",
+          "CartesianProduct" not in psem and psem.count("BroadcastNestedLoopJoin") == 0)
 
     spark.stop()
     print(f"\n{len(failures)} failures")
