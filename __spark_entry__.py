@@ -1332,6 +1332,44 @@ def _q_kg_triples(spark, sf_dir):
     )
 
 
+def _q_kg_precision_recall(spark, sf_dir):
+    # the north-rule headline metric (triple P/R >= 0.95 vs the reference
+    # semantics) as an explicit driver-recorded number, not just a
+    # set-hash: pipeline triples full-outer-joined against the
+    # hand-derived GOLDEN_EXPECTED_TRIPLES literal (broadcast — it is
+    # tiny), one aggregate. The oracle pins tp=n_emitted=n_expected=28,
+    # precision=recall=1.0; any extraction drift shows up here as a
+    # number below 1.0 AND as a hash mismatch.
+    from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
+    from knowledge_graph_builder_spark.sources.synth import (
+        GOLDEN_EXPECTED_TRIPLES,
+        golden_transcripts,
+    )
+
+    key = ["document_id", "source", "type", "target"]
+    got = (
+        run_pipeline(spark, golden_transcripts(spark), persist=False)
+        .triples.select(*key)
+        .distinct()
+        .withColumn("g", F.lit(1))
+    )
+    exp = spark.createDataFrame(sorted(GOLDEN_EXPECTED_TRIPLES), key).withColumn(
+        "e", F.lit(1)
+    )
+    joined = got.join(F.broadcast(exp), key, "full_outer")
+    return joined.agg(
+        F.sum(F.when((F.col("g") == 1) & (F.col("e") == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.coalesce("g", F.lit(0))).alias("n_emitted"),
+        F.sum(F.coalesce("e", F.lit(0))).alias("n_expected"),
+    ).select(
+        "tp",
+        "n_emitted",
+        "n_expected",
+        F.round(F.col("tp") / F.col("n_emitted"), 4).alias("precision"),
+        F.round(F.col("tp") / F.col("n_expected"), 4).alias("recall"),
+    )
+
+
 def _q_kg_events(spark, sf_dir):
     # golden-pinned like kg_triples: the oracle is the hand-derived
     # EV1-EV6 event set, so the value-hash match records exact agreement
@@ -1780,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         # golden-pinned oracles (literal VALUES = reference-semantics output):
         "kg_triples": _q_kg_triples,
+        "kg_precision_recall": _q_kg_precision_recall,
         "kg_events": _q_kg_events,
         "pdf_ingest": _q_pdf_ingest,
         "kg_insights": _q_kg_insights,
@@ -1892,6 +1931,19 @@ def _kg_triples_sql() -> str:
         SELECT * FROM (VALUES
               {rows}
         ) AS t(document_id, source, type, target)
+    """
+
+
+def _kg_precision_recall_sql() -> str:
+    """Oracle for the north-rule headline metric: the pipeline must agree
+    EXACTLY with the hand-derived reference-semantics set, so the pinned
+    value is tp = emitted = expected = |golden set| and P = R = 1.0."""
+    from knowledge_graph_builder_spark.sources.synth import GOLDEN_EXPECTED_TRIPLES
+
+    n = len(GOLDEN_EXPECTED_TRIPLES)
+    return f"""
+        SELECT {n}::BIGINT AS tp, {n}::BIGINT AS n_emitted, {n}::BIGINT AS n_expected,
+               CAST(1.0 AS DOUBLE) AS precision, CAST(1.0 AS DOUBLE) AS recall
     """
 
 
@@ -2252,6 +2304,7 @@ def _knn_allpairs_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples": _kg_triples_sql(),
+        "kg_precision_recall": _kg_precision_recall_sql(),
         "kg_events": _kg_events_sql(),
         "minhash_neardup": f"""
             WITH {_EXACT_JACCARD_PAIRS_CTES}
