@@ -1370,6 +1370,18 @@ def _q_kg_precision_recall(spark, sf_dir):
     )
 
 
+def _q_bpe_merges(spark, sf_dir):
+    # distributed BPE tokenizer training (operators/bpe.py: one corpus
+    # scan to a word-frequency dict, then O(vocab) per merge with a single
+    # collected row each) over the golden corpus. The oracle is the merge
+    # table of the pure-Python reference twin (bpe_train_local — an
+    # independent textbook implementation), rendered as a literal.
+    from knowledge_graph_builder_spark.operators.bpe import bpe_train
+    from knowledge_graph_builder_spark.sources.synth import golden_transcripts
+
+    return bpe_train(golden_transcripts(spark).select("text"), n_merges=8)
+
+
 def _q_kg_events(spark, sf_dir):
     # golden-pinned like kg_triples: the oracle is the hand-derived
     # EV1-EV6 event set, so the value-hash match records exact agreement
@@ -1819,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # golden-pinned oracles (literal VALUES = reference-semantics output):
         "kg_triples": _q_kg_triples,
         "kg_precision_recall": _q_kg_precision_recall,
+        "bpe_merges": _q_bpe_merges,
         "kg_events": _q_kg_events,
         "pdf_ingest": _q_pdf_ingest,
         "kg_insights": _q_kg_insights,
@@ -1944,6 +1957,27 @@ def _kg_precision_recall_sql() -> str:
     return f"""
         SELECT {n}::BIGINT AS tp, {n}::BIGINT AS n_emitted, {n}::BIGINT AS n_expected,
                CAST(1.0 AS DOUBLE) AS precision, CAST(1.0 AS DOUBLE) AS recall
+    """
+
+
+def _bpe_merges_sql() -> str:
+    """Literal oracle for bpe_merges: the pure-Python reference twin
+    (operators/bpe.py:bpe_train_local, an independent textbook
+    implementation of the Sennrich algorithm) runs over the same golden
+    texts at oracle-build time; the distributed loop must agree exactly."""
+    from knowledge_graph_builder_spark.operators.bpe import bpe_train_local
+    from knowledge_graph_builder_spark.sources.synth import GOLDEN_TEXTS
+
+    texts = [t for _, turns in sorted(GOLDEN_TEXTS.items()) for t in turns]
+    rows = ",\n              ".join(
+        f"({r}, '{l}', '{ri}', '{m}', {n})"
+        for r, l, ri, m, n in bpe_train_local(texts, 8)
+    )
+    return f"""
+        SELECT rank::INT AS rank, "left", "right", merged, pair_freq::BIGINT AS pair_freq
+        FROM (VALUES
+              {rows}
+        ) AS t(rank, "left", "right", merged, pair_freq)
     """
 
 
@@ -2305,6 +2339,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples": _kg_triples_sql(),
         "kg_precision_recall": _kg_precision_recall_sql(),
+        "bpe_merges": _bpe_merges_sql(),
         "kg_events": _kg_events_sql(),
         "minhash_neardup": f"""
             WITH {_EXACT_JACCARD_PAIRS_CTES}

@@ -176,6 +176,44 @@ def test_semantic_dedup_hot_cluster_guard(spark):
     assert out[0].dup_of == 100
 
 
+def test_bpe_train_matches_reference_twin(spark):
+    """The distributed merge loop must agree exactly with the pure-Python
+    textbook implementation (independent code path) — including the
+    classic Sennrich example's merge order (es, est, lo, low, ...)."""
+    from knowledge_graph_builder_spark.operators.bpe import bpe_train, bpe_train_local
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_freq)
+        for r in bpe_train(docs, 6).orderBy("rank").collect()
+    ]
+    assert got == bpe_train_local([text], 6)
+    assert got[0][:4] == (0, "e", "s", "es") and got[1][:4] == (1, "es", "t", "est")
+
+
+def test_bpe_merge_is_leftmost_nonoverlapping(spark):
+    """'aaaa' with merge (a,a) folds to [aa, aa], 'aaa' to [aa, a] — the
+    reference replacement order; overlapping re-merge would differ."""
+    from knowledge_graph_builder_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame([(0, "aaaa aaa")], ["doc_id", "text"])
+    merges = bpe_train(docs, 2).orderBy("rank").collect()
+    # merge 0: (a, a) freq 5 (3 in 'aaaa' pairs? no — leftmost counting is
+    # on PAIR COUNTS pre-merge: 'aaaa' has 3 adjacent (a,a), 'aaa' has 2)
+    assert (merges[0].left, merges[0].right, merges[0].pair_freq) == ("a", "a", 5)
+    # merge 1 sees 'aaaa'->[aa,aa] and 'aaa'->[aa,a]: (aa,aa)=1, (aa,a)=1;
+    # lexicographic tie-break picks (aa, a)
+    assert (merges[1].left, merges[1].right) == ("aa", "a")
+
+
+def test_bpe_empty_corpus(spark):
+    from knowledge_graph_builder_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame([(0, ""), (1, "   ")], ["doc_id", "text"])
+    assert bpe_train(docs, 4).count() == 0
+
+
 def test_asof_join_hand_case(spark):
     orders = spark.createDataFrame(
         [(1, _ts(10), "o-a"), (1, _ts(20), "o-b"), (2, _ts(5), "o-c")],
