@@ -1382,6 +1382,25 @@ def _q_bpe_merges(spark, sf_dir):
     return bpe_train(golden_transcripts(spark).select("text"), n_merges=8)
 
 
+def _q_bpe_token_freq(spark, sf_dir):
+    # tokenize the golden corpus with the 8 learned merges (bpe_apply —
+    # nested JVM folds, no Python) and return the top-10 most frequent
+    # BPE tokens; oracle = the pure-Python twin's token counts.
+    from knowledge_graph_builder_spark.operators.bpe import bpe_apply, bpe_train_local
+    from knowledge_graph_builder_spark.sources.synth import GOLDEN_TEXTS, golden_transcripts
+
+    texts = [t for _, turns in sorted(GOLDEN_TEXTS.items()) for t in turns]
+    merges = [(l, r) for _, l, r, _, _ in bpe_train_local(texts, 8)]
+    toks = bpe_apply(golden_transcripts(spark).select("text"), merges)
+    return (
+        toks.select("freq", F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(10)
+    )
+
+
 def _q_kg_events(spark, sf_dir):
     # golden-pinned like kg_triples: the oracle is the hand-derived
     # EV1-EV6 event set, so the value-hash match records exact agreement
@@ -1832,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": _q_kg_triples,
         "kg_precision_recall": _q_kg_precision_recall,
         "bpe_merges": _q_bpe_merges,
+        "bpe_token_freq": _q_bpe_token_freq,
         "kg_events": _q_kg_events,
         "pdf_ingest": _q_pdf_ingest,
         "kg_insights": _q_kg_insights,
@@ -1978,6 +1998,31 @@ def _bpe_merges_sql() -> str:
         FROM (VALUES
               {rows}
         ) AS t(rank, "left", "right", merged, pair_freq)
+    """
+
+
+def _bpe_token_freq_sql() -> str:
+    """Literal oracle for bpe_token_freq: the pure-Python twin tokenizes
+    the golden texts with the twin-learned merges; top-10 by (count desc,
+    token asc) — the same deterministic ordering the Spark query uses."""
+    from collections import Counter
+
+    from knowledge_graph_builder_spark.operators.bpe import bpe_apply_local, bpe_train_local
+    from knowledge_graph_builder_spark.sources.synth import GOLDEN_TEXTS
+
+    texts = [t for _, turns in sorted(GOLDEN_TEXTS.items()) for t in turns]
+    merges = [(l, r) for _, l, r, _, _ in bpe_train_local(texts, 8)]
+    counts: Counter = Counter()
+    for _, (freq, tokens) in bpe_apply_local(texts, merges).items():
+        for tok in tokens:
+            counts[tok] += freq
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rows = ",\n              ".join(f"('{t}', {n})" for t, n in top)
+    return f"""
+        SELECT token, n::BIGINT AS n
+        FROM (VALUES
+              {rows}
+        ) AS t(token, n)
     """
 
 
@@ -2340,6 +2385,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": _kg_triples_sql(),
         "kg_precision_recall": _kg_precision_recall_sql(),
         "bpe_merges": _bpe_merges_sql(),
+        "bpe_token_freq": _bpe_token_freq_sql(),
         "kg_events": _kg_events_sql(),
         "minhash_neardup": f"""
             WITH {_EXACT_JACCARD_PAIRS_CTES}

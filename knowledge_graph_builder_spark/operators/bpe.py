@@ -153,3 +153,52 @@ def bpe_train_local(texts: list[str], n_merges: int = 8) -> list[tuple]:
                 out.append(pend)
             words[w] = out
     return merges
+
+
+def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text") -> DataFrame:
+    """Tokenize a corpus with a learned merge list: (word, freq, tokens).
+
+    The merge list is tiny (driver-side, rank order) and compiles into
+    nested ``F.aggregate`` folds — depth grows LINEARLY with the merge
+    count (each fold consumes the previous array expression exactly once),
+    so this stays a single map-only JVM stage over the vocab-sized
+    word-frequency frame: no shuffle beyond the word groupBy, no Python.
+    """
+    tokens = F.split(F.col("word"), "")
+    for left, right in merges:
+        tokens = _apply_merge(tokens, left, right)
+    return word_frequencies(docs, text_col).select("word", "freq", tokens.alias("tokens"))
+
+
+def bpe_apply_local(texts: list[str], merges: list[tuple[str, str]]) -> dict[str, tuple[int, list[str]]]:
+    """Pure-Python twin of ``bpe_apply`` (same normalization and
+    replacement order); word -> (freq, tokens). Oracle/test use only."""
+    import re
+    from collections import Counter
+
+    wf: Counter = Counter()
+    for t in texts:
+        normed = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", " ", (t or "").lower())).strip()
+        for w in normed.split(" "):
+            if w:
+                wf[w] += 1
+    out: dict[str, tuple[int, list[str]]] = {}
+    for w, freq in wf.items():
+        syms = list(w)
+        for left, right in merges:
+            folded: list[str] = []
+            pend = None
+            for x in syms:
+                if pend is None:
+                    pend = x
+                elif pend == left and x == right:
+                    folded.append(left + right)
+                    pend = None
+                else:
+                    folded.append(pend)
+                    pend = x
+            if pend is not None:
+                folded.append(pend)
+            syms = folded
+        out[w] = (freq, syms)
+    return out

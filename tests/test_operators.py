@@ -207,6 +207,21 @@ def test_bpe_merge_is_leftmost_nonoverlapping(spark):
     assert (merges[1].left, merges[1].right) == ("aa", "a")
 
 
+def test_bpe_apply_matches_reference_twin(spark):
+    from knowledge_graph_builder_spark.operators.bpe import (
+        bpe_apply,
+        bpe_apply_local,
+        bpe_train_local,
+    )
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    merges = [(l, r) for _, l, r, _, _ in bpe_train_local([text], 6)]
+    docs = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    got = {r.word: (r.freq, list(r.tokens)) for r in bpe_apply(docs, merges).collect()}
+    assert got == bpe_apply_local([text], merges)
+    assert got["lower"][1] == ["low", "e", "r"]  # 'low' learned, 'er' not (6 merges)
+
+
 def test_bpe_empty_corpus(spark):
     from knowledge_graph_builder_spark.operators.bpe import bpe_train
 
