@@ -1505,6 +1505,21 @@ def _q_word_freq(spark, sf_dir):
     )
 
 
+def _q_cms_heavy_hitters(spark, sf_dir):
+    # count-min sketch (operators/sketch.py): exact top-20 words joined
+    # with their sketch estimates — est >= n always (one-sided error),
+    # and the sketch itself is a bounded (4 x 512) grid however large
+    # the corpus. The oracle replicates sketch, probes, and min-lookup
+    # in SQL with the same engine-portable md5 cell hash.
+    from knowledge_graph_builder_spark.operators.sketch import cms_build, cms_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    exact = _q_word_freq(spark, sf_dir)
+    sketch = cms_build(d, depth=4, width=512)
+    est = cms_estimate(sketch, exact, depth=4, width=512)
+    return exact.join(est, "word").select("word", "n", "est")
+
+
 def _q_label_stats(spark, sf_dir):
     # per-label embedding stats: count + mean vector norm (rounded)
     from knowledge_graph_builder_spark.operators.similarity import norm_col
@@ -1852,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_precision_recall": _q_kg_precision_recall,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_freq": _q_bpe_token_freq,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "kg_events": _q_kg_events,
         "pdf_ingest": _q_pdf_ingest,
         "kg_insights": _q_kg_insights,
@@ -3598,6 +3614,36 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "health": "SELECT 'healthy' AS status",
+        "cms_heavy_hitters": r"""
+            WITH w2 AS (
+              SELECT word FROM (
+                SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+                           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS word
+                FROM documents
+              ) WHERE length(word) >= 2
+            ),
+            rows_ AS (SELECT unnest(range(4)) AS row),
+            sketch AS (
+              SELECT row, cell, count(*) AS n FROM (
+                SELECT r.row,
+                       ('0x' || substring(md5('cms-' || r.row || ':' || word), 1, 7))::BIGINT % 512 AS cell
+                FROM w2 CROSS JOIN rows_ r
+              ) GROUP BY row, cell
+            ),
+            exact AS (
+              SELECT word, count(*) AS n FROM w2 GROUP BY word ORDER BY n DESC, word LIMIT 20
+            ),
+            probes AS (
+              SELECT e.word, r.row,
+                     ('0x' || substring(md5('cms-' || r.row || ':' || e.word), 1, 7))::BIGINT % 512 AS cell
+              FROM exact e CROSS JOIN rows_ r
+            )
+            SELECT e.word, e.n, min(coalesce(s.n, 0))::BIGINT AS est
+            FROM exact e
+            JOIN probes p USING (word)
+            LEFT JOIN sketch s ON s.row = p.row AND s.cell = p.cell
+            GROUP BY e.word, e.n
+        """,
         "word_freq_topk": """
             SELECT word, count(*) AS n
             FROM (

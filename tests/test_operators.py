@@ -229,6 +229,39 @@ def test_bpe_empty_corpus(spark):
     assert bpe_train(docs, 4).count() == 0
 
 
+def test_cms_one_sided_error(spark):
+    """est >= true count for EVERY word, even with a tiny width that
+    forces collisions; with ample width the estimate is exact."""
+    from knowledge_graph_builder_spark.operators.sketch import cms_build, cms_estimate
+
+    text = " ".join(["alpha"] * 7 + ["beta"] * 5 + ["gamma"] * 3 + ["delta", "omega"])
+    docs = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    truth = {"alpha": 7, "beta": 5, "gamma": 3, "delta": 1, "omega": 1}
+    words = spark.createDataFrame([(w,) for w in truth], ["word"])
+
+    tight = cms_build(docs, depth=4, width=4)
+    est_tight = {r.word: r.est for r in cms_estimate(tight, words, depth=4, width=4).collect()}
+    assert all(est_tight[w] >= n for w, n in truth.items()), est_tight
+
+    wide = cms_build(docs, depth=4, width=4096)
+    est_wide = {r.word: r.est for r in cms_estimate(wide, words, depth=4, width=4096).collect()}
+    assert est_wide == truth
+
+    # the sketch never exceeds depth*width rows, whatever the corpus
+    assert tight.count() <= 16 and wide.count() <= 5 * 4
+
+
+def test_cms_unseen_word_estimates_low(spark):
+    from knowledge_graph_builder_spark.operators.sketch import cms_build, cms_estimate
+
+    docs = spark.createDataFrame([(0, "alpha alpha beta")], ["doc_id", "text"])
+    words = spark.createDataFrame([("zzzz",)], ["word"])
+    sketch = cms_build(docs, depth=4, width=4096)
+    est = cms_estimate(sketch, words, depth=4, width=4096).collect()[0]
+    # an unseen word can only collide; at this width it reads 0
+    assert est.est == 0
+
+
 def test_asof_join_hand_case(spark):
     orders = spark.createDataFrame(
         [(1, _ts(10), "o-a"), (1, _ts(20), "o-b"), (2, _ts(5), "o-c")],
