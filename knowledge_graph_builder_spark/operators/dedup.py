@@ -28,14 +28,72 @@ def normalize_text_col(col):
     return F.trim(F.regexp_replace(F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " "), r"\s+", " "))
 
 
-def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    member_sample: int = 20,
+) -> DataFrame:
     """Groups of byte-identical (post-normalization) documents.
-    Returns (fingerprint, n_docs, doc_ids) for groups with n_docs >= 2."""
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.md5(normalize_text_col(F.col(text_col))).alias("fingerprint"))
-        .groupBy("fingerprint")
-        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+
+    Returns (fingerprint, n_docs, canonical_id, sample_ids) for groups with
+    n_docs >= 2. Every aggregate is BOUNDED: n_docs/canonical_id are
+    partial-aggregable (count + min, map-side combined), and sample_ids is
+    capped at ``member_sample`` via a rank filter BEFORE the collect — at
+    100 TB a boilerplate document repeated 10^8 times must never put a
+    10^8-element array on one reducer (the hazard class already guarded in
+    ``lsh_candidate_pairs``/``semantic_duplicates``). The window sort
+    spills; the collected array never exceeds ``member_sample``. Full
+    membership, when genuinely needed, is the filtered join
+    ``docs ⋈ exact_duplicates on fingerprint`` — streamed, never an array.
+    """
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalize_text_col(F.col(text_col))).alias("fingerprint"),
+    )
+    groups = (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
         .filter(F.col("n_docs") >= 2)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    sample = (
+        fp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= member_sample)  # WindowGroupLimit pushes this into the sort
+        .groupBy("fingerprint")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("sample_ids"))
+    )
+    return groups.join(sample, "fingerprint")
+
+
+def duplicate_members(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full membership of exact-duplicate groups as ROWS, not arrays —
+    the scale-safe way to enumerate every duplicate doc. One row per
+    (fingerprint, doc_id) in a group of size >= 2, with the group's
+    canonical survivor and an is_canonical flag. Shuffles on fingerprint
+    twice (group stats + the membership join); no unbounded state
+    anywhere."""
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalize_text_col(F.col(text_col))).alias("fingerprint"),
+    )
+    groups = (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    return fp.join(groups, "fingerprint").select(
+        "fingerprint",
+        "doc_id",
+        "n_docs",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
     )
 
 

@@ -98,6 +98,36 @@ def test_dedup_clusters_canonical_survivor(spark):
     assert out[4].cluster_id == 4 and out[4].is_canonical
 
 
+def test_exact_duplicates_bounded_fat_group(spark):
+    """The 100 TB hazard case: one boilerplate text repeated 100k times
+    must yield a BOUNDED result row (count + min + capped sample), never a
+    100k-element array on one reducer."""
+    from knowledge_graph_builder_spark.operators.dedup import exact_duplicates
+
+    docs = spark.range(100_000).select(
+        F.col("id").alias("doc_id"), F.lit("same boilerplate text").alias("text")
+    )
+    rows = exact_duplicates(docs, member_sample=20).collect()
+    assert len(rows) == 1
+    g = rows[0]
+    assert g.n_docs == 100_000 and g.canonical_id == 0
+    assert g.sample_ids == list(range(20))  # capped, lowest ids, sorted
+
+
+def test_duplicate_members_rows(spark):
+    from knowledge_graph_builder_spark.operators.dedup import duplicate_members
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (5, "Alpha,  beta!"), (3, "unique text"), (2, "alpha beta")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_members(docs).collect()}
+    # normalization folds case/punct/whitespace: {1,2,5} are one group
+    assert set(out) == {1, 2, 5}
+    assert all(r.n_docs == 3 and r.canonical_id == 1 for r in out.values())
+    assert out[1].is_canonical and not out[2].is_canonical and not out[5].is_canonical
+
+
 def test_ivf_probe_all_equals_brute_force(spark, sf_dir="/root/testdata/sf0.001"):
     from knowledge_graph_builder_spark.operators.similarity import ivf_topk, ivf_train
 
