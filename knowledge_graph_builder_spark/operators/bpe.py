@@ -155,19 +155,96 @@ def bpe_train_local(texts: list[str], n_merges: int = 8) -> list[tuple]:
     return merges
 
 
-def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text") -> DataFrame:
+def _merge_kernel(merge_list: list[tuple[str, str]]):
+    """mapInArrow kernel applying a full merge list to each word — one
+    single-pass leftmost/non-overlapping fold per merge in rank order,
+    byte-identical to ``bpe_apply_local``. O(vocab) Python is legitimate
+    here for the same reason as the extraction kernel: the input frame is
+    the word-frequency DICTIONARY (vocab-sized), never the corpus. The
+    symbol-presence gate skips the (vast majority of) merges whose parts
+    cannot occur in a word, so a 50k-merge tokenizer costs ~word_len
+    applied merges per word, not 50k passes."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        for batch in batches:
+            words = batch.column("word").to_pylist()
+            freqs = batch.column("freq").to_pylist()
+            toks: list[list[str]] = []
+            for w in words:
+                syms = list(w)
+                present = set(syms)
+                for left, right in merge_list:
+                    if left not in present or right not in present:
+                        continue
+                    out: list[str] = []
+                    pend = None
+                    changed = False
+                    for x in syms:
+                        if pend is None:
+                            pend = x
+                        elif pend == left and x == right:
+                            out.append(left + right)
+                            pend = None
+                            changed = True
+                        else:
+                            out.append(pend)
+                            pend = x
+                    if pend is not None:
+                        out.append(pend)
+                    if changed:
+                        syms = out
+                        present = set(syms)
+                toks.append(syms)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(words, pa.string()),
+                    pa.array(freqs, pa.int64()),
+                    pa.array(toks, pa.list_(pa.string())),
+                ],
+                names=["word", "freq", "tokens"],
+            )
+
+    return kernel
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    method: str = "auto",
+) -> DataFrame:
     """Tokenize a corpus with a learned merge list: (word, freq, tokens).
 
-    The merge list is tiny (driver-side, rank order) and compiles into
-    nested ``F.aggregate`` folds — depth grows LINEARLY with the merge
-    count (each fold consumes the previous array expression exactly once),
-    so this stays a single map-only JVM stage over the vocab-sized
-    word-frequency frame: no shuffle beyond the word groupBy, no Python.
+    Two physical strategies over the same vocab-sized word-frequency
+    frame, identical output (pinned against ``bpe_apply_local`` by test):
+
+    * ``fold`` — each merge compiles to a JVM-side ``F.aggregate`` fold.
+      Zero Python, whole-stage codegen, but the Catalyst expression tree
+      grows linearly with the merge count: fine for dozens of merges,
+      analysis/codegen-prohibitive at real tokenizer scale (30k-50k).
+    * ``kernel`` — ONE ``mapInArrow`` pass applies the whole merge list
+      per word (rank order, leftmost non-overlapping — the Sennrich
+      replacement order). Plan size is constant in the merge count; the
+      Python cost is O(vocab x applied-merges), bounded because the frame
+      is the dictionary, not the corpus.
+
+    ``auto`` picks ``fold`` for <= 32 merges (SQL-expressible, oracle
+    path) and ``kernel`` beyond — a 30k-merge tokenizer must never build
+    a 30k-deep expression tree.
     """
-    tokens = F.split(F.col("word"), "")
-    for left, right in merges:
-        tokens = _apply_merge(tokens, left, right)
-    return word_frequencies(docs, text_col).select("word", "freq", tokens.alias("tokens"))
+    wf = word_frequencies(docs, text_col)
+    merge_list = [(str(l), str(r)) for l, r in merges]
+    if method not in ("auto", "fold", "kernel"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "fold" or (method == "auto" and len(merge_list) <= 32):
+        tokens = F.split(F.col("word"), "")
+        for left, right in merge_list:
+            tokens = _apply_merge(tokens, left, right)
+        return wf.select("word", "freq", tokens.alias("tokens"))
+    return wf.select("word", "freq").mapInArrow(
+        _merge_kernel(merge_list), schema="word string, freq bigint, tokens array<string>"
+    )
 
 
 def bpe_apply_local(texts: list[str], merges: list[tuple[str, str]]) -> dict[str, tuple[int, list[str]]]:

@@ -252,6 +252,56 @@ def test_bpe_apply_matches_reference_twin(spark):
     assert got["lower"][1] == ["low", "e", "r"]  # 'low' learned, 'er' not (6 merges)
 
 
+def test_bpe_apply_kernel_parity_and_dispatch(spark):
+    """The fold and kernel strategies must produce identical tokenizations
+    (both pinned to the pure-Python twin), and auto must pick the kernel
+    above 32 merges."""
+    from knowledge_graph_builder_spark.operators.bpe import (
+        bpe_apply,
+        bpe_apply_local,
+        bpe_train_local,
+    )
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    merges = [(l, r) for _, l, r, _, _ in bpe_train_local([text], 6)]
+    docs = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    expected = bpe_apply_local([text], merges)
+    for method in ("fold", "kernel"):
+        got = {
+            r.word: (r.freq, list(r.tokens))
+            for r in bpe_apply(docs, merges, method=method).collect()
+        }
+        assert got == expected, method
+    # auto >32 merges must not build a deep fold expression: mapInArrow
+    # appears in the plan instead of nested aggregate()s
+    many = merges + [(f"q{i}", f"z{i}") for i in range(40)]
+    plan = bpe_apply(docs, many)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
+
+
+def test_bpe_apply_scales_in_merge_count(spark):
+    """Round-2 verdict scale hazard: a real tokenizer has 30k-50k merges;
+    the apply path must plan and run with >= 1,000 merges (the fold
+    strategy's expression tree would blow analysis long before that).
+    Parity with the twin is asserted on the same 1,000-merge list."""
+    from knowledge_graph_builder_spark.operators.bpe import (
+        bpe_apply,
+        bpe_apply_local,
+        bpe_train_local,
+    )
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3 + ["lowest"] * 4
+    )
+    real = [(l, r) for _, l, r, _, _ in bpe_train_local([text], 10)]
+    # pad with synthetic never-matching pairs to 1,000 — plan size must not care
+    merges = real + [(f"x{i}", f"y{i}") for i in range(1000 - len(real))]
+    docs = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    got = {r.word: (r.freq, list(r.tokens)) for r in bpe_apply(docs, merges).collect()}
+    assert got == bpe_apply_local([text], merges)
+    assert got["lowest"][1] == bpe_apply_local([text], merges)["lowest"][1]
+
+
 def test_bpe_empty_corpus(spark):
     from knowledge_graph_builder_spark.operators.bpe import bpe_train
 
