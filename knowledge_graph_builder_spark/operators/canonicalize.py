@@ -100,19 +100,6 @@ def candidate_pairs(
         .select("block_key")
     )
     bounded = keys.join(ok_blocks, "block_key")
-    pairs = (
-        bounded.select("block_key", F.col("name").alias("a"))
-        .join(bounded.select("block_key", F.col("name").alias("b")), "block_key")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-        # eager checkpoint so the keys cache can be released here rather
-        # than leaking for the application lifetime (long-lived sessions
-        # call this per micro-batch); downstream CC re-reads pairs many
-        # times anyway, so materializing them is free in context
-        .localCheckpoint()
-    )
-    keys.unpersist()
 
     # NB: split leaves an empty token when the name ends in punctuation
     # ("x inc." -> ["x","inc",""]); removing it matters — the phantom ""
@@ -123,7 +110,25 @@ def candidate_pairs(
     inter = F.size(F.array_intersect(a_t, b_t))
     union = F.size(F.array_union(a_t, b_t))
     jac = inter / F.greatest(union, F.lit(1))
-    return pairs.filter(jac >= jaccard_threshold)
+    pairs = (
+        bounded.select("block_key", F.col("name").alias("a"))
+        .join(bounded.select("block_key", F.col("name").alias("b")), "block_key")
+        .filter(F.col("a") < F.col("b"))
+        # Jaccard-verify BEFORE the distinct: the filter is cheap column
+        # math evaluated per block-collision, and it shrinks the distinct's
+        # shuffle (a pair surviving k shared blocks shuffles k rows either
+        # way, but rejected pairs never reach the exchange at all)
+        .filter(jac >= jaccard_threshold)
+        .select("a", "b")
+        .distinct()
+        # eager checkpoint so the keys cache can be released here rather
+        # than leaking for the application lifetime (long-lived sessions
+        # call this per micro-batch); downstream CC re-reads pairs many
+        # times anyway, so materializing them is free in context
+        .localCheckpoint()
+    )
+    keys.unpersist()
+    return pairs
 
 
 def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
@@ -147,7 +152,10 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
             ).alias("uv")
         )
         .select("uv.u", "uv.v")
-        .localCheckpoint()
+        # lazy: materialized by the first iteration's first job instead of
+        # an extra eager job here (edges is itself checkpointed upstream,
+        # so the recompute window is one cheap explode)
+        .localCheckpoint(eager=False)
     )
     prev_sig = None
     for _ in range(max_iterations):
@@ -169,7 +177,8 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
 
         # small-star: point all smaller neighbors at the minimum.
         # ONE lineage-cutting checkpoint per iteration (covers both star
-        # steps) keeps the plan bounded with the fewest eager jobs.
+        # steps) keeps the plan bounded; it is LAZY so the signature
+        # aggregate below materializes it — one job per iteration, not two.
         nbr_min2 = new_e.groupBy("u").agg(F.min("v").alias("m"))
         small = (
             new_e.filter(F.col("v") <= F.col("u"))
@@ -177,12 +186,13 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(nbr_min2.select("u", F.col("m").alias("v")))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # converged when the edge set is stable across an iteration.
         # (count, sum-of-hash) is an order-insensitive signature of the
         # deduped set — one aggregate job per iteration instead of a
-        # count plus an exceptAll set-difference.
+        # count plus an exceptAll set-difference. This collect doubles as
+        # the checkpoint-materializing action.
         row = small.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal sum: ANSI mode would raise on long overflow
@@ -201,7 +211,9 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
 def canonicalize_nodes(nodes: DataFrame, max_block: int = 50, jaccard_threshold: float = 0.5) -> DataFrame:
     """nodes(name, ...) -> nodes + canonical_id column. Names with no
     verified alias keep themselves as canonical."""
-    names = nodes.select("name").distinct()
+    # no .distinct() here: blocking_keys dedupes names itself, and a second
+    # pre-dedup would add a full exchange over the name set for nothing
+    names = nodes.select("name")
     pairs = candidate_pairs(names, max_block=max_block, jaccard_threshold=jaccard_threshold)
     comp = connected_components(pairs)
     return (
