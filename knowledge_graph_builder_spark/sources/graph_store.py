@@ -22,19 +22,39 @@ Scale design — the tables are HASH-BUCKETED on the merge key
   VALUE-idempotent (same convergence argument the streaming BatchLedger
   documents for a crash between upsert and mark).
 
+Two commit protocols, selected by ``commit_mode``:
+
+* ``rename`` (default) — the bucket-directory swap above. Atomic ONLY on
+  a POSIX filesystem (os.rename); correct in this sandbox and on HDFS,
+  NOT on S3-style object stores (no atomic directory rename).
+* ``manifest`` — the Iceberg-metadata-pointer pattern, safe on object
+  stores: every commit writes its merged buckets to an IMMUTABLE,
+  uniquely-named commit directory (data files are never renamed or
+  overwritten), then atomically swaps ONE small manifest file mapping
+  bucket -> commit directory. The only atomicity primitive required is
+  single-file replace (os.replace here; a conditional PUT / pointer
+  update on an object store — exactly what an Iceberg catalog provides).
+  A crash before the manifest swap leaves an orphan commit directory
+  and a fully consistent old manifest; retries re-merge the same batch
+  (value-idempotent as above) and ``vacuum()`` reclaims orphans.
+  Readers prune at the FILE level: only the bucket directories named in
+  the manifest are ever listed, so upsert reads stay O(batch).
+
 With an Iceberg catalog the same frames go through ``MERGE INTO`` and
-``DELETE FROM`` and the bucket dance disappears; the key/dedup logic is
+``DELETE FROM`` and both protocols disappear; the key/dedup logic is
 identical, which is why it lives here and not in the sink.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 from pyspark.sql.window import Window
 
 
@@ -51,13 +71,23 @@ class GraphStore:
     write to every read, and the store grows with versions until
     ``clear_session`` (a physical rewrite) compacts it."""
 
+    _KEY_COLS = {"nodes": ["name", "type"], "edges": ["src", "type", "dst"]}
+
     def __init__(
-        self, spark: SparkSession, root: str, n_buckets: int = 64, keep_history: bool = False
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 64,
+        keep_history: bool = False,
+        commit_mode: str = "rename",
     ):
+        if commit_mode not in ("rename", "manifest"):
+            raise ValueError(f"unknown commit_mode {commit_mode!r}")
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
         self.keep_history = keep_history
+        self.commit_mode = commit_mode
         os.makedirs(root, exist_ok=True)
 
     def _path(self, table: str) -> str:
@@ -66,7 +96,98 @@ class GraphStore:
     def _bucket_col(self, key_cols: list[str]):
         return F.pmod(F.xxhash64(*key_cols), F.lit(self.n_buckets)).cast("int")
 
+    # -- manifest-pointer commit protocol ---------------------------------
+
+    def _manifest_path(self, table: str) -> str:
+        return self._path(table) + ".manifest.json"
+
+    def _commits_root(self, table: str) -> str:
+        # outside the legacy table directory so partition discovery on a
+        # legacy read can never pick up commit data mid-migration
+        return self._path(table) + "._commits"
+
+    def _load_manifest(self, table: str) -> dict | None:
+        p = self._manifest_path(table)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _store_manifest(self, table: str, manifest: dict) -> None:
+        """The ONE atomic step of a manifest commit: single-file replace
+        (object-store equivalent: conditional PUT of the pointer)."""
+        p = self._manifest_path(table)
+        tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, sort_keys=True)
+        os.replace(tmp, p)
+
+    def _write_commit(self, df: DataFrame, table: str, seq: int) -> tuple[str, list[int]]:
+        """Write one immutable commit directory partitioned by _bucket;
+        returns (commit dir name, buckets present)."""
+        name = f"commit-{seq}-{uuid.uuid4().hex[:8]}"
+        path = os.path.join(self._commits_root(table), name)
+        df.write.mode("error").partitionBy("_bucket").parquet(path)
+        present = sorted(
+            int(e.split("=", 1)[1]) for e in os.listdir(path) if e.startswith("_bucket=")
+        )
+        return name, present
+
+    def _manifest_read(self, table: str, manifest: dict, buckets: list[int] | None = None) -> DataFrame:
+        """Read the manifest's current state (optionally restricted to a
+        bucket subset — file-level pruning, nothing else is even listed).
+        Reconstructs the _bucket column from the key columns (it is a
+        derived partition label, not data)."""
+        want = {str(b) for b in buckets} if buckets is not None else None
+        leafs = [
+            os.path.join(self._commits_root(table), cdir, f"_bucket={b}")
+            for b, cdir in manifest["buckets"].items()
+            if want is None or b in want
+        ]
+        if not leafs:
+            schema = StructType.fromJson(json.loads(manifest["schema"]))
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.parquet(*leafs)
+        key_cols = self._KEY_COLS.get(table)
+        if key_cols and all(c in df.columns for c in key_cols):
+            df = df.withColumn("_bucket", self._bucket_col(key_cols))
+        return df
+
+    def _manifest_full_commit(self, df: DataFrame, table: str, seq: int) -> None:
+        """Full-table rewrite under the manifest protocol (first write,
+        migration, clear_session): one commit dir, fresh manifest."""
+        cdir, present = self._write_commit(df, table, seq)
+        self._store_manifest(
+            table,
+            {
+                "seq": seq,
+                "schema": df.drop("_bucket").schema.json(),
+                "buckets": {str(b): cdir for b in present},
+            },
+        )
+
+    def vacuum(self, table: str) -> list[str]:
+        """Remove commit directories no longer referenced by the current
+        manifest (crash orphans and fully superseded commits). On an
+        object store run this with a grace period so in-flight readers of
+        a just-replaced manifest finish; locally it is immediate. Returns
+        the removed directory names."""
+        manifest = self._load_manifest(table)
+        croot = self._commits_root(table)
+        if manifest is None or not os.path.isdir(croot):
+            return []
+        live = set(manifest["buckets"].values())
+        removed = []
+        for entry in sorted(os.listdir(croot)):
+            if entry not in live:
+                shutil.rmtree(os.path.join(croot, entry))
+                removed.append(entry)
+        return removed
+
     def _read(self, table: str) -> DataFrame | None:
+        manifest = self._load_manifest(table)
+        if manifest is not None:
+            return self._manifest_read(table, manifest)
         p = self._path(table)
         if os.path.exists(os.path.join(p, "_SUCCESS")):
             return self.spark.read.parquet(p)
@@ -93,13 +214,46 @@ class GraphStore:
         return os.path.exists(p) and any(e.startswith("_bucket=") for e in os.listdir(p))
 
     def _upsert(self, new: DataFrame, table: str, key_cols: list[str]) -> None:
-        new = new.withColumn("_batch_seq", F.lit(self._next_seq(table)))
+        seq = self._next_seq(table)
+        new = new.withColumn("_batch_seq", F.lit(seq))
         new = new.withColumn("_bucket", self._bucket_col(key_cols))
-        existing = self._read(table)
 
         # history mode appends versions verbatim; last-writer resolution
         # happens at read time instead of write time
         dedup = (lambda df: df) if self.keep_history else (lambda df: self._dedup(df, key_cols))
+
+        if self.commit_mode == "manifest":
+            manifest = self._load_manifest(table)
+            if manifest is None:
+                # first write, or one-time migration of a rename/legacy
+                # layout: full merge into one commit + fresh manifest
+                existing = self._read(table)
+                if existing is not None:
+                    if "_bucket" not in existing.columns:
+                        existing = existing.withColumn("_bucket", self._bucket_col(key_cols))
+                    merged = dedup(existing.unionByName(new))
+                else:
+                    merged = dedup(new)
+                self._manifest_full_commit(merged, table, seq)
+                return
+            touched = sorted(
+                r["_bucket"] for r in new.select("_bucket").distinct().collect()
+            )
+            # file-level pruning: only the touched buckets' directories are
+            # listed — the untouched store is never even enumerated
+            old_touched = self._manifest_read(table, manifest, buckets=touched)
+            merged = dedup(old_touched.unionByName(new))
+            cdir, present = self._write_commit(merged, table, seq)
+            buckets = dict(manifest["buckets"])
+            for b in present:
+                buckets[str(b)] = cdir
+            # data is durable and immutable; this single replace IS the commit
+            self._store_manifest(
+                table, {"seq": seq, "schema": manifest["schema"], "buckets": buckets}
+            )
+            return
+
+        existing = self._read(table)
 
         if existing is not None and not self._is_bucketed(table):
             # one-time migration of a legacy (unbucketed) table: full merge
@@ -228,8 +382,16 @@ class GraphStore:
                 # null-preserving predicate: a plain != would evaluate to
                 # NULL for rows with no session_id and silently delete them
                 keep = F.col("session_id").isNull() | (F.col("session_id") != session_id)
-                part = "_bucket" if "_bucket" in df.columns else None
-                self._swap_in(df.filter(keep), table, partition_by=part)
+                if self.commit_mode == "manifest":
+                    kept = df.filter(keep)
+                    if "_bucket" not in kept.columns:
+                        kept = kept.withColumn(
+                            "_bucket", self._bucket_col(self._KEY_COLS[table])
+                        )
+                    self._manifest_full_commit(kept, table, self._next_seq(table))
+                else:
+                    part = "_bucket" if "_bucket" in df.columns else None
+                    self._swap_in(df.filter(keep), table, partition_by=part)
 
 
 class BatchLedger:

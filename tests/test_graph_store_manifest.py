@@ -1,0 +1,152 @@
+"""Manifest-pointer commit protocol for GraphStore (commit_mode="manifest").
+
+The object-store-safe alternative to the POSIX bucket-directory swap:
+immutable commit directories + one atomically replaced manifest file
+(the Iceberg metadata-pointer pattern). These tests pin the contract:
+
+* parity with rename mode (same upserts -> same MERGE state);
+* data-file immutability (an upsert never rewrites or renames a
+  referenced file — only the manifest pointer moves);
+* crash safety (an orphan commit dir without a manifest swap is
+  invisible to readers and reclaimed by vacuum);
+* history/as-of, clear_session, and legacy-layout migration all work
+  under the manifest protocol.
+"""
+
+import glob
+import json
+import os
+
+from knowledge_graph_builder_spark.sources.graph_store import GraphStore
+
+
+def _nodes_df(spark, rows):
+    return spark.createDataFrame(rows, "name string, type string, session_id string")
+
+
+def _state(store):
+    return {
+        (r["name"], r["type"]): r["session_id"]
+        for r in store.nodes().select("name", "type", "session_id").collect()
+    }
+
+
+def test_manifest_mode_matches_rename_mode(spark, tmp_path):
+    batches = [
+        [("Apple", "ORG", "s1"), ("Jobs", "PERSON", "s1")],
+        [("Apple", "ORG", "s2"), ("MSFT", "ORG", "s2")],  # update + insert
+        [("Jobs", "PERSON", "s3")],
+    ]
+    a = GraphStore(spark, str(tmp_path / "rename"), n_buckets=8)
+    b = GraphStore(spark, str(tmp_path / "manifest"), n_buckets=8, commit_mode="manifest")
+    for batch in batches:
+        a.upsert_nodes(_nodes_df(spark, batch))
+        b.upsert_nodes(_nodes_df(spark, batch))
+    assert _state(a) == _state(b) == {
+        ("Apple", "ORG"): "s2",
+        ("Jobs", "PERSON"): "s3",
+        ("MSFT", "ORG"): "s2",
+    }
+
+
+def test_manifest_upsert_never_touches_referenced_files(spark, tmp_path):
+    """Immutability: files referenced by the pre-upsert manifest are
+    byte-identical afterwards; the commit only swaps the pointer."""
+    root = str(tmp_path / "g")
+    store = GraphStore(spark, root, n_buckets=8, commit_mode="manifest")
+    store.upsert_nodes(
+        _nodes_df(spark, [(f"n{i}", "ORG", "s1") for i in range(64)])
+    )
+
+    def file_state():
+        out = {}
+        for f in glob.glob(f"{root}/nodes._commits/**/*", recursive=True):
+            if os.path.isfile(f):
+                with open(f, "rb") as fh:
+                    out[f] = fh.read()
+        return out
+
+    before = file_state()
+    store.upsert_nodes(_nodes_df(spark, [("n3", "ORG", "s2")]))
+    after = file_state()
+    # every pre-existing file is still there, byte-identical
+    for path, content in before.items():
+        assert after[path] == content
+    # and the store still MERGEs correctly
+    assert store.nodes().count() == 64
+    assert _state(store)[("n3", "ORG")] == "s2"
+
+
+def test_manifest_crash_orphan_is_invisible_and_vacuumable(spark, tmp_path):
+    root = str(tmp_path / "g")
+    store = GraphStore(spark, root, n_buckets=4, commit_mode="manifest")
+    store.upsert_nodes(_nodes_df(spark, [("Apple", "ORG", "s1")]))
+    good = _state(store)
+
+    # simulate a crash AFTER the data write but BEFORE the manifest swap:
+    # an orphan commit directory appears, the manifest is unchanged
+    orphan = os.path.join(root, "nodes._commits", "commit-99-deadbeef")
+    os.makedirs(os.path.join(orphan, "_bucket=0"))
+    with open(os.path.join(orphan, "_bucket=0", "junk.parquet"), "wb") as fh:
+        fh.write(b"not even parquet")
+
+    assert _state(store) == good  # readers resolve via the manifest only
+    removed = store.vacuum("nodes")
+    assert removed == ["commit-99-deadbeef"]
+    assert not os.path.exists(orphan)
+    # referenced commits survive vacuum
+    assert _state(store) == good
+
+
+def test_manifest_vacuum_reclaims_superseded_commits(spark, tmp_path):
+    root = str(tmp_path / "g")
+    store = GraphStore(spark, root, n_buckets=2, commit_mode="manifest")
+    store.upsert_nodes(_nodes_df(spark, [("Apple", "ORG", "s1")]))
+    # same key again: its bucket's pointer moves to the new commit, fully
+    # superseding the first commit directory
+    store.upsert_nodes(_nodes_df(spark, [("Apple", "ORG", "s2")]))
+    croot = os.path.join(root, "nodes._commits")
+    assert len(os.listdir(croot)) == 2
+    removed = store.vacuum("nodes")
+    assert len(removed) == 1
+    assert _state(store) == {("Apple", "ORG"): "s2"}
+
+
+def test_manifest_clear_session(spark, tmp_path):
+    store = GraphStore(spark, str(tmp_path / "g"), n_buckets=4, commit_mode="manifest")
+    store.upsert_nodes(_nodes_df(spark, [("Apple", "ORG", "s1"), ("MSFT", "ORG", "s2")]))
+    store.clear_session("s1")
+    assert _state(store) == {("MSFT", "ORG"): "s2"}
+    # clearing everything leaves a readable empty table (schema kept in
+    # the manifest), not a missing one
+    store.clear_session("s2")
+    assert store.nodes().count() == 0
+
+
+def test_manifest_history_mode_as_of(spark, tmp_path):
+    store = GraphStore(
+        spark, str(tmp_path / "g"), n_buckets=4, keep_history=True, commit_mode="manifest"
+    )
+    store.upsert_nodes(_nodes_df(spark, [("Apple", "ORG", "s1")]))
+    seq1 = store.current_seq("nodes")
+    store.upsert_nodes(_nodes_df(spark, [("Apple", "ORG", "s2")]))
+    assert _state(store) == {("Apple", "ORG"): "s2"}
+    asof = {
+        (r["name"], r["type"]): r["session_id"]
+        for r in store.nodes_as_of(seq1).select("name", "type", "session_id").collect()
+    }
+    assert asof == {("Apple", "ORG"): "s1"}
+
+
+def test_manifest_migrates_legacy_layout(spark, tmp_path):
+    """Opening a rename-era store with commit_mode='manifest' migrates on
+    first upsert; subsequent reads resolve via the manifest."""
+    root = str(tmp_path / "g")
+    legacy = GraphStore(spark, root, n_buckets=4)
+    legacy.upsert_nodes(_nodes_df(spark, [("Apple", "ORG", "s1")]))
+
+    store = GraphStore(spark, root, n_buckets=4, commit_mode="manifest")
+    store.upsert_nodes(_nodes_df(spark, [("MSFT", "ORG", "s1")]))
+    assert _state(store) == {("Apple", "ORG"): "s1", ("MSFT", "ORG"): "s1"}
+    manifest = json.load(open(f"{root}/nodes.manifest.json"))
+    assert manifest["buckets"]  # manifest now owns the table
