@@ -1517,6 +1517,33 @@ def _q_ann_recall(spark, sf_dir):
     return res
 
 
+def _q_streaming_neardup(spark, sf_dir):
+    # Incremental MinHash near-dup: the documents corpus delivered as a
+    # 3-micro-batch stream; signatures accumulate in a store, each batch
+    # joins its new docs' bands against the accumulated store, verifies
+    # with exact Jaccard, and appends pairs exactly once. The drained pair
+    # store equals the batch operator, so the batch oracle (exact pairwise
+    # Jaccard in SQL) pins the streaming path's VALUES.
+    import tempfile
+
+    from knowledge_graph_builder_spark.streaming.incremental import (
+        read_neardup_pairs,
+        stream_neardup_minhash,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="kgb_stream_nd_")
+    in_dir = f"{base}/in"
+    for m in range(3):  # three files -> three micro-batches
+        d.filter(F.col("doc_id") % 3 == m).coalesce(1).write.mode("append").parquet(in_dir)
+    q = stream_neardup_minhash(
+        spark, in_dir, f"{base}/store", f"{base}/ckpt", threshold=0.5
+    )
+    q.awaitTermination(600)
+    pairs = read_neardup_pairs(spark, f"{base}/store")
+    return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def _q_dedup_clusters(spark, sf_dir):
     # near-dup clusters with one canonical survivor per cluster
     from knowledge_graph_builder_spark.operators.dedup import dedup_clusters
@@ -1909,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 3 --
         "ann_recall": _q_ann_recall,
         "dedup_members": _q_dedup_members,
+        "streaming_neardup": _q_streaming_neardup,
         # -- green in r01 only; changed-this-round first --
         "dedup_exact": _q_dedup_exact,
         "canonicalize": _q_canonicalize,
@@ -2501,6 +2529,12 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_freq": _bpe_token_freq_sql(),
         "kg_events": _kg_events_sql(),
         "minhash_neardup": f"""
+            WITH {_EXACT_JACCARD_PAIRS_CTES}
+            SELECT a, b, jaccard FROM exact_pairs
+        """,
+        # the streaming path is pinned to equal the batch operator (by the
+        # restart-idempotence test), so it shares the batch oracle
+        "streaming_neardup": f"""
             WITH {_EXACT_JACCARD_PAIRS_CTES}
             SELECT a, b, jaccard FROM exact_pairs
         """,

@@ -121,12 +121,12 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = 16) -> DataFrame:
     return sigs.select("doc_id", F.array(*[f"h{s}" for s in range(n_hashes)]).alias("sig"))
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, n_bands: int = 4, max_bucket: int = 200
-) -> DataFrame:
-    """(a, b) candidate near-duplicate pairs from banded minhash buckets."""
+def band_keys(signatures: DataFrame, n_bands: int = 4) -> DataFrame:
+    """(doc_id, bucket) — one banded bucket key per signature band. Shared
+    by the batch pair generator and the streaming incremental dedup so
+    both agree on what a candidate collision is."""
     rows_per_band = F.size("sig") / n_bands
-    bands = signatures.select(
+    return signatures.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -145,6 +145,13 @@ def lsh_candidate_pairs(
             )
         ).alias("bucket"),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_bands: int = 4, max_bucket: int = 200
+) -> DataFrame:
+    """(a, b) candidate near-duplicate pairs from banded minhash buckets."""
+    bands = band_keys(signatures, n_bands)
     # Size-filter FIRST with a partial-aggregable count, THEN self-join
     # within surviving buckets (the canonicalize.py candidate_pairs
     # pattern): a degenerate bucket (empty/boilerplate docs) at 100 TB

@@ -344,6 +344,160 @@ def stream_dedup_turns(
     )
 
 
+def stream_neardup_minhash(
+    spark: SparkSession,
+    input_path: str,
+    store_root: str,
+    checkpoint_dir: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.7,
+    max_bucket: int = 200,
+    available_now: bool = True,
+):
+    """Incremental MinHash near-duplicate detection over a DOCUMENT stream
+    — the curation chain running in flight instead of as a batch sweep.
+
+    Per micro-batch of (doc_id, text):
+
+    1. fingerprint the new docs (shingle -> minhash) and append their
+       signatures to a durable signature store (per-batch directory, so a
+       retried batch OVERWRITES its own output instead of duplicating);
+    2. candidate pairs = banded-bucket join of the new signatures against
+       the ACCUMULATED store (old-new and new-new; old-old pairs were
+       emitted by earlier batches) — per-batch cost is O(batch + collisions),
+       never O(corpus^2); hot buckets are count-capped like the batch path;
+    3. exact-Jaccard verify the candidates, reading shingles ONLY for the
+       pair members (semi-join pruned read of the doc store);
+    4. append verified pairs (a, b, jaccard) to the pair store.
+
+    Exactly-once: foreachBatch's stable batch_id + the BatchLedger —
+    identical machinery to ``stream_kg_to_store``. A crash between the
+    writes and the mark re-runs the batch, whose per-batch-directory
+    writes are overwrite-idempotent. After any prefix of batches, the
+    union of emitted pairs equals the BATCH ``minhash_near_duplicates``
+    over the documents delivered so far (pinned by test) — streaming adds
+    no approximation, only incrementality.
+
+    State at 10^12 docs: the signature store is (doc_id, sig) — tiny rows,
+    bucketable; the doc store is the corpus the pipeline lands anyway. No
+    Spark keyed state is used at all, so restart cost is the checkpoint's,
+    not a state-store rebuild.
+    """
+    import hashlib
+
+    from ..operators.dedup import (
+        band_keys,
+        jaccard_verify,
+        minhash_signatures,
+        word_shingles,
+    )
+    from ..sources.graph_store import BatchLedger
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_path)
+    )
+    lineage = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    ledger = BatchLedger(f"{store_root}/_applied_batches/{lineage}")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if ledger.applied(batch_id):
+            return
+        docs = batch_df.select("doc_id", "text")
+        docs.write.mode("overwrite").parquet(f"{store_root}/docs/batch={batch_id}")
+        sh_new = word_shingles(docs, "doc_id", "text", k)
+        sigs_new = minhash_signatures(sh_new, n_hashes)
+        sigs_new.write.mode("overwrite").parquet(f"{store_root}/sigs/batch={batch_id}")
+
+        # accumulated signatures INCLUDING this batch (so new-new pairs
+        # form). Explicit schemas on every store read: a batch with zero
+        # output rows leaves a directory whose schema can't be inferred.
+        import os
+
+        def _batch_dirs(sub: str, exclude: int | None = None) -> list[str]:
+            root = f"{store_root}/{sub}"
+            if not os.path.isdir(root):
+                return []
+            return [
+                f"{root}/{d}"
+                for d in sorted(os.listdir(root))
+                if d.startswith("batch=") and d != f"batch={exclude}"
+            ]
+
+        all_sigs = spark.read.schema("doc_id bigint, sig array<bigint>").parquet(
+            *_batch_dirs("sigs")
+        )
+        all_bands = band_keys(all_sigs.select("doc_id", "sig"), n_bands)
+        # the hot-bucket guard, same shape as the batch path: count first,
+        # join only inside surviving buckets
+        ok = (
+            all_bands.groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+            .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+            .select("bucket")
+        )
+        new_bands = band_keys(sigs_new, n_bands).join(ok, "bucket")
+        bounded_all = all_bands.join(ok, "bucket")
+        pairs = (
+            bounded_all.select("bucket", F.col("doc_id").alias("x"))
+            .join(new_bands.select("bucket", F.col("doc_id").alias("y")), "bucket")
+            .filter(F.col("x") != F.col("y"))
+            .select(
+                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+            )
+            .distinct()
+        )
+        # drop pairs already emitted by an earlier batch (both members old):
+        # y is always new, so only re-delivered doc_ids could resurface an
+        # old pair; an anti-join against the pair store keeps emission
+        # exactly-once per pair even then
+        prior_dirs = _batch_dirs("pairs", exclude=batch_id)
+        if prior_dirs:
+            prior = spark.read.schema("a bigint, b bigint, jaccard double").parquet(
+                *prior_dirs
+            )
+            pairs = pairs.join(prior.select("a", "b"), ["a", "b"], "left_anti")
+
+        # Jaccard verification reads shingles ONLY for pair members
+        members = pairs.select(F.col("a").alias("doc_id")).unionByName(
+            pairs.select(F.col("b").alias("doc_id"))
+        ).distinct()
+        corpus = spark.read.schema("doc_id bigint, text string").parquet(
+            *_batch_dirs("docs")
+        )
+        needed = corpus.join(members, "doc_id", "semi").select("doc_id", "text")
+        sh_needed = word_shingles(needed, "doc_id", "text", k)
+        verified = jaccard_verify(pairs, sh_needed, threshold)
+        verified.write.mode("overwrite").parquet(f"{store_root}/pairs/batch={batch_id}")
+        ledger.mark(batch_id)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_neardup_pairs(spark: SparkSession, store_root: str) -> DataFrame:
+    """All verified near-dup pairs the stream has emitted so far."""
+    import os
+
+    root = f"{store_root}/pairs"
+    dirs = (
+        [f"{root}/{d}" for d in sorted(os.listdir(root)) if d.startswith("batch=")]
+        if os.path.isdir(root)
+        else []
+    )
+    schema = "a bigint, b bigint, jaccard double"
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*dirs)
+
+
 def stream_enrich_join(
     spark: SparkSession,
     turns_path: str,

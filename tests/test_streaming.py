@@ -307,3 +307,59 @@ def test_stream_enrich_join_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/enriched").collect()
     }
     assert got == {("c1", 0, "review"), ("c1", 1, "review")}
+
+
+def test_stream_neardup_matches_batch_and_restarts(spark, tmp_path):
+    """Incremental MinHash near-dup: after the stream drains, the emitted
+    pair set equals the BATCH minhash_near_duplicates over the same docs
+    (streaming adds incrementality, not approximation); and re-running the
+    whole stream with a fresh checkpoint (every batch re-delivered) leaves
+    the pair set identical — per-batch overwrite + the prior-pair anti-join
+    make emission idempotent."""
+    from knowledge_graph_builder_spark.operators.dedup import minhash_near_duplicates
+    from knowledge_graph_builder_spark.streaming.incremental import (
+        read_neardup_pairs,
+        stream_neardup_minhash,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    batches = [
+        [(1, base), (2, base + " indeed")],
+        [(3, "completely different text about spark shuffle partition sizing and skew"),
+         (4, base + " truly")],
+        [(5, "another unrelated document talking about watermark semantics in streams"),
+         (6, base)],
+    ]
+    inp = str(tmp_path / "docs_in")
+    for rows in batches:  # one file per append -> one micro-batch per file
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    store = str(tmp_path / "ndstore")
+    q = stream_neardup_minhash(spark, inp, store, str(tmp_path / "ck1"), threshold=0.5)
+    q.awaitTermination(180)
+
+    def pairset():
+        return {
+            (r.a, r.b, round(r.jaccard, 6))
+            for r in read_neardup_pairs(spark, store).collect()
+        }
+
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id bigint, text string"
+    )
+    expected = {
+        (r.a, r.b, round(r.jaccard, 6))
+        for r in minhash_near_duplicates(all_docs, threshold=0.5).collect()
+    }
+    got = pairset()
+    assert expected  # the corpus genuinely contains near-dups
+    assert got == expected, (got, expected)
+    # cross-batch pair present: doc 4 (batch 1) near-dups doc 1 (batch 0)
+    assert any(a == 1 and b == 4 for a, b, _ in got)
+
+    # full re-delivery with a fresh checkpoint lineage
+    q2 = stream_neardup_minhash(spark, inp, store, str(tmp_path / "ck2"), threshold=0.5)
+    q2.awaitTermination(180)
+    assert pairset() == expected
