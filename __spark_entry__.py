@@ -777,6 +777,128 @@ def _q_tpch_q15(spark, sf_dir):
     )
 
 
+def _ps_surrogate(spark, sf_dir):
+    """partsupp stand-in (no partsupp table in the testdata, same policy
+    as q9/q16): per distinct (part, supplier) pair observed in lineitem,
+    supplycost = min unit price ever charged, availqty = total quantity
+    ever shipped. One lineitem scan, partial-aggregable.
+
+    floor(x*100)/100 instead of round(x, 2): both engines compute the
+    bit-identical IEEE division and min, and floor of an identical double
+    is identical — round(x, 2) disagrees between engines when the double
+    sits on a .005 boundary (observed: 6444.015 -> 6444.01 vs 6444.02)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        (F.floor(F.min(F.col("l_extendedprice") / F.col("l_quantity")) * 100) / 100.0).alias(
+            "ps_supplycost"
+        ),
+        F.sum("l_quantity").alias("ps_availqty"),
+    )
+
+
+_PS_SURROGATE_CTE = """
+            ps AS (
+              SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                     floor(min(l_extendedprice / l_quantity) * 100) / 100.0 AS ps_supplycost,
+                     sum(l_quantity) AS ps_availqty
+              FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2
+            )
+"""
+
+
+def _q_tpch_q2(spark, sf_dir):
+    # q2-adapted: minimum-cost supplier per LARGE small-size part in
+    # EUROPE. The supplier->nation->region chain broadcasts (tiny dims);
+    # the per-part min joins back co-partitioned on ps_partkey (groupBy +
+    # equi-join, not a window — skew-safe); part is a broadcast dim.
+    ps = _ps_surrogate(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu = ps.join(F.broadcast(eu_supp), ps["ps_suppkey"] == F.col("s_suppkey"))
+    mn = eu.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("mc"))
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 15)
+    )
+    return (
+        eu.join(mn, ["ps_partkey"])
+        .filter(F.col("ps_supplycost") == F.col("mc"))
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.col("ps_supplycost").alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+    )
+
+
+def _q_tpch_q11(spark, sf_dir):
+    # q11-adapted: important stock values — parts whose NATION_9 stock
+    # value exceeds 0.1% of the nation's total. The total is a 1-row
+    # broadcast cross join (the only sound way to compare every group to
+    # a global aggregate without a single-partition window).
+    ps = _ps_surrogate(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    nat_supp = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select("s_suppkey")
+    # integer-cents summand: supplycost is cents-exact and availqty is
+    # integral, so cost*qty*100 is an integer up to fp noise; rounding it
+    # to a LONG makes every sum order-independent and engine-identical
+    # (double accumulation order was observed to differ at the cents digit)
+    cents = F.round(F.col("ps_supplycost") * F.col("ps_availqty") * 100).cast("long")
+    v = (
+        ps.join(F.broadcast(nat_supp), ps["ps_suppkey"] == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    tot = v.agg(F.sum("cents").alias("t"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("cents") > 0.001 * F.col("t"))
+        .select("ps_partkey", (F.col("cents") / 100.0).alias("value"))
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+def _q_tpch_q20(spark, sf_dir):
+    # q20-adapted: suppliers holding excess stock of 'bolt' parts —
+    # availqty more than 6x what they shipped in 1996 (the all-time
+    # surrogate availqty makes TPC-H's 0.5x-of-period factor vacuous, so
+    # the multiplier is raised until it discriminates). Semi-join shape:
+    # bolt parts broadcast; ps and the 1996 shipment agg co-partition on
+    # (part, supp); the surviving supplier set is distinct + broadcast.
+    ps = _ps_surrogate(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    shipped = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.sum("l_quantity").alias("q96"))
+    bolt = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%")).select(
+        F.col("p_partkey").alias("ps_partkey")
+    )
+    excess = (
+        ps.join(F.broadcast(bolt), "ps_partkey")
+        .join(shipped, ["ps_partkey", "ps_suppkey"])
+        .filter(F.col("ps_availqty") > 6 * F.col("q96"))
+        .select(F.col("ps_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(excess), "s_suppkey")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
 def _q_tpch_q16(spark, sf_dir):
     # q16-adapted (no partsupp table — distinct lineitem (part, supp)
     # pairs stand in): supplier counts per brand/type/size, excluding one
@@ -1937,6 +2059,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "dedup_members": _q_dedup_members,
         "streaming_neardup": _q_streaming_neardup,
+        "tpch_q2_mincost": _q_tpch_q2,
+        "tpch_q11_stockvalue": _q_tpch_q11,
+        "tpch_q20_excess": _q_tpch_q20,
         # -- green in r01 only; changed-this-round first --
         "dedup_exact": _q_dedup_exact,
         "canonicalize": _q_canonicalize,
@@ -2537,6 +2662,52 @@ def oracle_sql() -> dict[str, str]:
         "streaming_neardup": f"""
             WITH {_EXACT_JACCARD_PAIRS_CTES}
             SELECT a, b, jaccard FROM exact_pairs
+        """,
+        "tpch_q2_mincost": f"""
+            WITH {_PS_SURROGATE_CTE},
+            eu AS (
+              SELECT ps.*, s_name, s_acctbal, n_name FROM ps
+              JOIN supplier ON ps_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+            ),
+            mn AS (SELECT ps_partkey, min(ps_supplycost) AS mc FROM eu GROUP BY 1)
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+                   ps_supplycost AS supplycost
+            FROM eu JOIN mn ON eu.ps_partkey = mn.ps_partkey AND ps_supplycost = mc
+            JOIN part ON eu.ps_partkey = p_partkey AND p_type = 'LARGE' AND p_size <= 15
+        """,
+        "tpch_q11_stockvalue": f"""
+            WITH {_PS_SURROGATE_CTE},
+            nps AS (
+              SELECT ps.* FROM ps
+              JOIN supplier ON ps_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_9'
+            ),
+            v AS (
+              SELECT ps_partkey,
+                     sum(round(ps_supplycost * ps_availqty * 100)::BIGINT) AS cents
+              FROM nps GROUP BY 1
+            ),
+            tot AS (SELECT sum(cents) AS t FROM v)
+            SELECT ps_partkey, cents / 100.0 AS value
+            FROM v, tot WHERE cents > 0.001 * t
+        """,
+        "tpch_q20_excess": f"""
+            WITH {_PS_SURROGATE_CTE},
+            shipped AS (
+              SELECT l_partkey, l_suppkey, sum(l_quantity) AS q96 FROM lineitem
+              WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+              GROUP BY 1, 2
+            ),
+            excess AS (
+              SELECT DISTINCT ps_suppkey FROM ps
+              JOIN part ON ps_partkey = p_partkey AND p_name LIKE '%bolt%'
+              JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+              WHERE ps_availqty > 6 * q96
+            )
+            SELECT s_suppkey, s_name, s_acctbal
+            FROM supplier JOIN excess ON s_suppkey = ps_suppkey
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_EXACT_JACCARD_PAIRS_CTES},
