@@ -1639,6 +1639,18 @@ def _q_ann_recall(spark, sf_dir):
     return res
 
 
+def _q_dup_spans(spark, sf_dir):
+    # cross-doc duplicated-span coverage (ExactSubstr-style at fixed n):
+    # the fraction of each doc's tokens covered by a 5-gram shared with
+    # another document — interval-union sweep, never pairwise
+    from knowledge_graph_builder_spark.operators.textstats import (
+        cross_doc_duplicated_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return cross_doc_duplicated_spans(d, n=5)
+
+
 def _q_streaming_neardup(spark, sf_dir):
     # Incremental MinHash near-dup: the documents corpus delivered as a
     # 3-micro-batch stream; signatures accumulate in a store, each batch
@@ -2059,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "dedup_members": _q_dedup_members,
         "streaming_neardup": _q_streaming_neardup,
+        "dup_spans": _q_dup_spans,
         "tpch_q2_mincost": _q_tpch_q2,
         "tpch_q11_stockvalue": _q_tpch_q11,
         "tpch_q20_excess": _q_tpch_q20,
@@ -2662,6 +2675,46 @@ def oracle_sql() -> dict[str, str]:
         "streaming_neardup": f"""
             WITH {_EXACT_JACCARD_PAIRS_CTES}
             SELECT a, b, jaccard FROM exact_pairs
+        """,
+        "dup_spans": """
+            WITH norm AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS w
+              FROM documents
+            ),
+            sized AS (
+              SELECT doc_id, w,
+                     CASE WHEN array_to_string(w, '') = '' THEN 0 ELSE len(w) END AS n_tokens
+              FROM norm
+            ),
+            grams AS (
+              SELECT doc_id, i AS start, i + 4 AS e,
+                     md5(array_to_string(w[i:i+4], ' ')) AS gram
+              FROM sized, LATERAL unnest(generate_series(1, n_tokens - 4)) AS t(i)
+              WHERE n_tokens >= 5
+            ),
+            dup AS (
+              SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM grams)
+              GROUP BY gram HAVING count(*) >= 2
+            ),
+            spans AS (SELECT doc_id, start, e FROM grams JOIN dup USING (gram)),
+            cov AS (
+              SELECT doc_id,
+                     sum(greatest(e - greatest(coalesce(pe, 0), start - 1), 0)) AS n_dup
+              FROM (
+                SELECT doc_id, start, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY start
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+                FROM spans
+              )
+              GROUP BY doc_id
+            )
+            SELECT s.doc_id, s.n_tokens::INT AS n_tokens,
+                   coalesce(c.n_dup, 0)::INT AS n_dup_positions,
+                   CASE WHEN s.n_tokens = 0 THEN 0.0
+                        ELSE round(coalesce(c.n_dup, 0) / s.n_tokens, 4) END AS dup_token_fraction
+            FROM sized s LEFT JOIN cov c ON s.doc_id = c.doc_id
         """,
         "tpch_q2_mincost": f"""
             WITH {_PS_SURROGATE_CTE},

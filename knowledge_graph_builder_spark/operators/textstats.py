@@ -384,3 +384,102 @@ def replace_rare_tokens(
         F.count("*").alias("n_tokens"),
         F.sum(F.when(F.col("tok2") == unk, 1).otherwise(0)).alias("n_unk"),
     )
+
+
+def cross_doc_duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-span coverage (ExactSubstr-style, after
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499, at a fixed span length): for each document,
+    the fraction of its token positions covered by at least one word
+    n-gram that also occurs in >= ``min_docs`` DISTINCT documents.
+
+    Distributed shape (three bounded shuffles, never pairwise):
+
+    1. positional n-grams — (doc_id, pos, md5(gram)) rows, one per token
+       position; the md5 fingerprint keeps the shuffled key 32 bytes
+       regardless of n (and is engine-portable, so the DuckDB oracle can
+       rebuild it);
+    2. duplicated grams — distinct (gram, doc) then a count per gram
+       (both partial-aggregable; a boilerplate gram present in 10^8 docs
+       reduces to ONE count row, never a member list);
+    3. coverage — positions carrying a duplicated gram become spans
+       [pos, pos+n-1]; the exact union length per doc is the classic
+       sweep: sort spans by start within the doc and count only the part
+       of each span past the running max end (one window over the doc's
+       duplicated positions — bounded by doc length, not corpus).
+
+    Returns (doc_id, n_tokens, n_dup_positions, dup_token_fraction).
+    Documents shorter than ``n`` tokens have fraction 0.0.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import normalize_text_col
+
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text_col(F.col(text_col)), " ").alias("w"),
+    ).select(
+        "doc_id",
+        F.when(F.array_join(F.col("w"), "") == "", F.array().cast("array<string>"))
+        .otherwise(F.col("w"))
+        .alias("w"),
+    )
+    sized = words.select("doc_id", "w", F.size("w").alias("n_tokens"))
+    grams = sized.filter(F.col("n_tokens") >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+                lambda i: F.md5(F.array_join(F.slice(F.col("w"), i, n), " ")),
+            )
+        ).alias("pos", "gram"),
+    )
+    dup_grams = (
+        grams.select("gram", "doc_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram")
+    )
+    # posexplode is 0-based; shift to 1-based token positions so the
+    # sweep's empty-prefix sentinel (prev_end = 0) can't swallow position 0
+    spans = grams.join(dup_grams, "gram").select(
+        "doc_id", (F.col("pos") + 1).alias("start"), (F.col("pos") + n).alias("end")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = (
+        spans.withColumn("prev_end", F.coalesce(F.max("end").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            F.greatest(
+                F.col("end") - F.greatest(F.col("prev_end"), F.col("start") - 1), F.lit(0)
+            ).alias("new_cov"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("new_cov").alias("n_dup_positions"))
+    )
+    return (
+        sized.select("doc_id", "n_tokens")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce("n_dup_positions", F.lit(0)).cast("int").alias("n_dup_positions"),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.coalesce("n_dup_positions", F.lit(0)) / F.col("n_tokens"), 4)
+            )
+            .alias("dup_token_fraction"),
+        )
+    )

@@ -1182,3 +1182,30 @@ def test_graph_store_time_travel(spark, tmp_path):
         ("Apple", "s1"),
         ("Jobs", "s1"),
     }
+
+
+def test_cross_doc_duplicated_spans(spark):
+    """Interval-union coverage of cross-doc duplicated n-grams: shared
+    spans merge (no double counting), within-doc repeats don't count,
+    unique docs score 0."""
+    from knowledge_graph_builder_spark.operators.textstats import (
+        cross_doc_duplicated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # shares "a b c"/"b c d" with doc 2
+            (2, "x a b c d y"),
+            (3, "p q r s"),            # unique
+            (4, "m n o m n o"),        # repeated gram but only ONE doc
+            (5, "zz"),                 # shorter than n
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in cross_doc_duplicated_spans(docs, n=3).collect()}
+    # doc1: spans [2,4] and [3,5] union to positions 2..5 = 4 of 6 tokens
+    assert (out[1].n_dup_positions, out[1].dup_token_fraction) == (4, 0.6667)
+    assert (out[2].n_dup_positions, out[2].dup_token_fraction) == (4, 0.6667)
+    assert out[3].n_dup_positions == 0 and out[3].dup_token_fraction == 0.0
+    assert out[4].n_dup_positions == 0  # within-doc repetition is not cross-doc
+    assert out[5].n_tokens == 1 and out[5].dup_token_fraction == 0.0
