@@ -1651,6 +1651,16 @@ def _q_dup_spans(spark, sf_dir):
     return cross_doc_duplicated_spans(d, n=5)
 
 
+def _q_dsir_weights(spark, sf_dir):
+    # DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    # bucket distributions, target = English docs; log-likelihood-ratio
+    # score per doc, micro-nat-quantized so both engines sum integers
+    from knowledge_graph_builder_spark.operators.curation import dsir_importance
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_importance(d, F.col("lang") == "en", n_buckets=64)
+
+
 def _q_streaming_neardup(spark, sf_dir):
     # Incremental MinHash near-dup: the documents corpus delivered as a
     # 3-micro-batch stream; signatures accumulate in a store, each batch
@@ -2072,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_members": _q_dedup_members,
         "streaming_neardup": _q_streaming_neardup,
         "dup_spans": _q_dup_spans,
+        "dsir_weights": _q_dsir_weights,
         "tpch_q2_mincost": _q_tpch_q2,
         "tpch_q11_stockvalue": _q_tpch_q11,
         "tpch_q20_excess": _q_tpch_q20,
@@ -2715,6 +2726,41 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN s.n_tokens = 0 THEN 0.0
                         ELSE round(coalesce(c.n_dup, 0) / s.n_tokens, 4) END AS dup_token_fraction
             FROM sized s LEFT JOIN cov c ON s.doc_id = c.doc_id
+        """,
+        "dsir_weights": """
+            WITH norm AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+                                 x -> x != '') AS w
+              FROM documents
+            ),
+            uni AS (SELECT doc_id, lang, unnest(w) AS gram FROM norm),
+            bi AS (
+              SELECT doc_id, lang, array_to_string(w[i:i+1], ' ') AS gram
+              FROM norm, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
+              WHERE len(w) >= 2
+            ),
+            feats AS (
+              SELECT doc_id, lang = 'en' AS is_target,
+                     (('0x' || substring(md5(gram), 1, 8))::UBIGINT % 64)::BIGINT AS bucket
+              FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+            ),
+            pdb AS (SELECT doc_id, bucket, count(*) AS cnt FROM feats GROUP BY 1, 2),
+            dist AS (
+              SELECT bucket, count(*) AS q_cnt,
+                     sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS p_cnt
+              FROM feats GROUP BY 1
+            ),
+            tot AS (SELECT sum(q_cnt) AS q_tot, sum(p_cnt) AS p_tot FROM dist),
+            wts AS (
+              SELECT bucket,
+                     round((ln((p_cnt + 1.0) / (p_tot + 64.0))
+                          - ln((q_cnt + 1.0) / (q_tot + 64.0))) * 1e6)::BIGINT AS dm
+              FROM dist, tot
+            )
+            SELECT doc_id, sum(cnt)::INT AS n_feats, sum(cnt * dm) / 1e6 AS log_weight
+            FROM pdb JOIN wts USING (bucket) GROUP BY 1
         """,
         "tpch_q2_mincost": f"""
             WITH {_PS_SURROGATE_CTE},

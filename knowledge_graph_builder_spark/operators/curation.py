@@ -104,3 +104,81 @@ def curate_corpus(
 def curation_funnel(decisions: DataFrame) -> DataFrame:
     """Aggregate curation report: docs per decision."""
     return decisions.groupBy("decision").agg(F.count("*").alias("n_docs"))
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_filter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (after Xie et al.
+    2023, "Data Selection for Language Models via Importance Resampling",
+    arXiv:2302.03169): featurize every document as hashed unigram+bigram
+    counts over ``n_buckets`` buckets, fit bucket distributions for the
+    TARGET subset (rows matching ``target_filter``, a boolean Column) and
+    the RAW corpus, and score each document with the log-likelihood
+    ratio  log w(x) = sum_f count_f(x) * (log p_target(f) - log q_raw(f))
+    (Laplace-smoothed). High-weight docs look like the target; feed the
+    scores to ``sampling.weighted_sample_without_replacement`` to
+    materialize the resampled corpus.
+
+    Scale shape: ONE corpus scan explodes grams to (doc, bucket) rows;
+    bucket distributions are a ``n_buckets``-row aggregate (broadcast
+    back); the per-doc score is a groupBy sum of narrow rows. The hash is
+    md5-derived (engine-portable, so the DuckDB oracle reproduces it).
+    Engine-exactness: the per-feature log-ratio is quantized to integer
+    MICRO-nats before the weighted sum, so every aggregate is an integer
+    sum (order-independent across engines); the reported ``log_weight``
+    is micro-nats / 1e6.
+
+    Returns (doc_id, n_feats, log_weight).
+    """
+    words = F.split(normalize_text_col(F.col(text_col)), " ")
+    words = F.filter(words, lambda w: w != "")
+    bigrams = F.when(F.size(words) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.array_join(F.slice(words, i, 2), " "),
+        )
+    )
+    grams = F.concat(words, bigrams)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).alias("bucket")
+    feats = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_filter.alias("is_target"),
+        F.explode(grams).alias("gram"),
+    ).select("doc_id", "is_target", bucket)
+
+    per_doc_bucket = feats.groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
+    dist = feats.groupBy("bucket").agg(
+        F.count("*").alias("q_cnt"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("p_cnt"),
+    )
+    totals = dist.agg(
+        F.sum("q_cnt").alias("q_tot"), F.sum("p_cnt").alias("p_tot")
+    )
+    s, b = float(smoothing), n_buckets
+    delta_micro = F.round(
+        (
+            F.log((F.col("p_cnt") + s) / (F.col("p_tot") + s * b))
+            - F.log((F.col("q_cnt") + s) / (F.col("q_tot") + s * b))
+        )
+        * 1e6
+    ).cast("long")
+    weights = dist.crossJoin(F.broadcast(totals)).select(
+        "bucket", delta_micro.alias("delta_micro")
+    )
+    return (
+        per_doc_bucket.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("int").alias("n_feats"),
+            (F.sum(F.col("cnt") * F.col("delta_micro")) / 1e6).alias("log_weight"),
+        )
+    )

@@ -1209,3 +1209,60 @@ def test_cross_doc_duplicated_spans(spark):
     assert out[3].n_dup_positions == 0 and out[3].dup_token_fraction == 0.0
     assert out[4].n_dup_positions == 0  # within-doc repetition is not cross-doc
     assert out[5].n_tokens == 1 and out[5].dup_token_fraction == 0.0
+
+
+def test_dsir_importance_matches_pure_python_twin(spark):
+    """DSIR log-weights pinned against an independent driver-side twin
+    (same md5 bucketing, Laplace smoothing, micro-nat quantization), and
+    the semantic sanity check: target-like docs outweigh off-target docs."""
+    import hashlib
+    import math
+    import re
+
+    from knowledge_graph_builder_spark.operators.curation import dsir_importance
+
+    rows = [
+        (1, "the cat sat on the mat with another cat"),
+        (2, "cat and cat play with the mat"),
+        (3, "stock markets fell sharply on tuesday amid rate fears"),
+        (4, "quarterly earnings beat estimates across the board"),
+        (5, "the cat watched the stock markets"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r.doc_id: (r.n_feats, r.log_weight)
+        for r in dsir_importance(docs, F.col("doc_id") <= 2, n_buckets=64).collect()
+    }
+
+    # -- twin --
+    def grams(t):
+        w = [x for x in re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", " ", t.lower())).strip().split(" ") if x]
+        return w + [" ".join(w[i : i + 2]) for i in range(len(w) - 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % 64
+
+    from collections import Counter
+
+    q, p, per_doc = Counter(), Counter(), {}
+    for doc_id, t in rows:
+        c = Counter(bucket(g) for g in grams(t))
+        per_doc[doc_id] = c
+        q.update(c)
+        if doc_id <= 2:
+            p.update(c)
+    q_tot, p_tot = sum(q.values()), sum(p.values())
+    dm = {
+        b: round(
+            (math.log((p[b] + 1.0) / (p_tot + 64.0)) - math.log((q[b] + 1.0) / (q_tot + 64.0)))
+            * 1e6
+        )
+        for b in q
+    }
+    expected = {
+        d: (sum(c.values()), sum(n * dm[b] for b, n in c.items()) / 1e6)
+        for d, c in per_doc.items()
+    }
+    assert out == expected
+    # target-like docs score higher than off-target; the mixed doc lands between
+    assert min(out[1][1], out[2][1]) > out[5][1] > max(out[3][1], out[4][1])
