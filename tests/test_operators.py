@@ -1266,3 +1266,44 @@ def test_dsir_importance_matches_pure_python_twin(spark):
     assert out == expected
     # target-like docs score higher than off-target; the mixed doc lands between
     assert min(out[1][1], out[2][1]) > out[5][1] > max(out[3][1], out[4][1])
+
+
+def test_embedding_gramian_matches_numpy_and_partitioning_invariant(spark):
+    import numpy as np
+
+    from knowledge_graph_builder_spark.operators.similarity import embedding_gramian_micro
+
+    rng = [[(((i * 31 + j * 17) % 13) - 6) / 7.0 for j in range(8)] for i in range(40)]
+    docs = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id int, embedding array<double>"
+    )
+    got = {(r.i, r.j): r.gram for r in embedding_gramian_micro(docs).collect()}
+    V = np.asarray(rng)
+    expected_micro = np.floor(np.einsum("ni,nj->nij", V, V) * 1e6).astype(np.int64).sum(axis=0)
+    assert len(got) == 8 * 9 // 2
+    for (i, j), g in got.items():
+        assert j >= i
+        assert g == expected_micro[i, j] / 1e6, (i, j)
+    # exact partitioning invariance (integer partials)
+    got7 = {(r.i, r.j): r.gram for r in embedding_gramian_micro(docs.repartition(7)).collect()}
+    assert got7 == got
+
+
+def test_pca_power_iteration_finds_dominant_direction(spark):
+    from knowledge_graph_builder_spark.operators.similarity import (
+        embedding_gramian_micro,
+        pca_power_iteration,
+    )
+
+    # anisotropic cloud: variance 25x larger along axis 2 than others
+    rows = []
+    for k in range(60):
+        base = [((k * 7 + d) % 5 - 2) / 10.0 for d in range(4)]
+        base[2] = ((k % 11) - 5) * 1.0
+        rows.append((k, base))
+    docs = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    gram = [(r.i, r.j, r.gram) for r in embedding_gramian_micro(docs).collect()]
+    v, lam = pca_power_iteration(gram, dim=4)
+    assert lam > 0
+    assert abs(v[2]) > 0.99  # dominant axis found
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-9
