@@ -134,6 +134,37 @@ def main(sf_dir: str) -> int:
     check("semantic_dedup pair join is hash on cluster, not nested-loop",
           "CartesianProduct" not in psem and psem.count("BroadcastNestedLoopJoin") == 0)
 
+    # 8) round-3 additions
+    pde = plan_of(entry.queries()["dedup_exact"](spark, sf_dir))
+    check("dedup_exact rank-caps the member sample (WindowGroupLimit)",
+          "WindowGroupLimit" in pde, pde[:400])
+    check("dedup_exact has no nested-loop join", "CartesianProduct" not in pde)
+    pds = plan_of(entry.queries()["dup_spans"](spark, sf_dir))
+    check("dup_spans joins duplicated grams hash-wise",
+          "CartesianProduct" not in pds and "BroadcastNestedLoopJoin" not in pds, pds[:400])
+    check("dup_spans coverage sweep is one per-doc window", pds.count("Window") == 1)
+    pdw = plan_of(entry.queries()["dsir_weights"](spark, sf_dir))
+    check("dsir bucket weights broadcast back to doc features",
+          "BroadcastHashJoin" in pdw, pdw[:400])
+    check("dsir totals are a broadcast 1-row cross join",
+          pdw.count("BroadcastNestedLoopJoin") <= 1)
+    pg = plan_of(entry.queries()["embedding_gramian"](spark, sf_dir))
+    check("gramian kernel is Arrow-evaluated", "MapInArrow" in pg, pg[:400])
+    check("gramian shuffles only d^2 partial rows",
+          pg.count("Exchange hashpartitioning") == 1)
+    p2 = plan_of(entry.queries()["tpch_q2_mincost"](spark, sf_dir))
+    check("q2 broadcasts supplier-chain and part dims",
+          p2.count("BroadcastHashJoin") >= 2, p2[:400])
+    check("q2 per-part min joins hash-wise (no window over parts)",
+          "CartesianProduct" not in p2)
+    p11 = plan_of(entry.queries()["tpch_q11_stockvalue"](spark, sf_dir))
+    check("q11 total is a broadcast 1-row cross join",
+          "BroadcastNestedLoopJoin" in p11 or "BroadcastExchange" in p11, p11[:400])
+    p20 = plan_of(entry.queries()["tpch_q20_excess"](spark, sf_dir))
+    check("q20 broadcasts the part filter and supplier set",
+          p20.count("BroadcastHashJoin") >= 2, p20[:400])
+    check("q20 has no cartesian product", "CartesianProduct" not in p20)
+
     spark.stop()
     print(f"\n{len(failures)} failures")
     return 1 if failures else 0
