@@ -233,3 +233,101 @@ def rewrite_edges_canonical(edges: DataFrame, canonical: DataFrame) -> DataFrame
         .withColumn("src_canonical", F.coalesce("src_canonical", "src"))
         .withColumn("dst_canonical", F.coalesce("dst_canonical", "dst"))
     )
+
+
+def canonicalize_incremental(
+    existing: DataFrame,
+    new_names: DataFrame,
+    name_col: str = "name",
+    max_block: int = 50,
+    jaccard_threshold: float = 0.5,
+    existing_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Fold a batch of NEW names into an existing canonical mapping —
+    the change-set-bounded twin of ``canonicalize_nodes`` (the same shape
+    ``plans/incremental.py`` gives extraction): only components touched
+    by the batch are re-resolved; untouched mapping rows pass through.
+
+    ``existing``: (name, canonical_id) — the current mapping (as produced
+    by ``canonicalize_nodes``). ``new_names``: the batch.
+
+    Correctness: replacing an already-resolved subgraph by its
+    equivalence edges (name -> canonical_id) preserves connected
+    components, so CC over (new verified pairs ∪ affected components'
+    equivalence edges) equals the full recompute on the union name set —
+    pinned by test. One caveat, documented rather than hidden: a block
+    that crosses ``max_block`` only via the new batch would be dropped
+    entirely by a full recompute, while the incremental path keeps the
+    component the old names already formed. Incremental resolution is
+    therefore MONOTONE (it never un-merges), which matches the MERGE
+    semantics of the store it feeds.
+
+    Cost: candidate generation touches only blocks containing a new name
+    (the old side is block-semi-joined before any pairing); the CC loop
+    runs on new pairs plus the member edges of AFFECTED components only.
+    Pass ``existing_keys`` (a persisted (name, block_key) table) to avoid
+    recomputing old names' blocking keys per batch — at 10^12 names that
+    table is the thing a production deployment maintains incrementally.
+    """
+    old_names = existing.select(F.col(name_col).alias("name"))
+    new = (
+        new_names.select(F.col(name_col).alias("name"))
+        .distinct()
+        .join(old_names, "name", "left_anti")
+        .localCheckpoint()
+    )
+
+    keys_new = blocking_keys(new)
+    keys_old = existing_keys or blocking_keys(old_names)
+    touched = keys_new.select("block_key").distinct()
+    keys_in_play = keys_new.unionByName(keys_old.join(touched, "block_key"))
+
+    ok_blocks = (
+        keys_in_play.groupBy("block_key")
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_block))
+        .select("block_key")
+    )
+    bounded = keys_in_play.join(ok_blocks, "block_key")
+    new_bounded = keys_new.join(ok_blocks, "block_key")
+    tok = lambda c: F.array_remove(F.array_distinct(F.split(_canonical_name(c), r"[^a-z0-9]+")), "")
+    a_t, b_t = tok(F.col("a")), tok(F.col("b"))
+    jac = F.size(F.array_intersect(a_t, b_t)) / F.greatest(
+        F.size(F.array_union(a_t, b_t)), F.lit(1)
+    )
+    pairs = (
+        bounded.select("block_key", F.col("name").alias("x"))
+        .join(new_bounded.select("block_key", F.col("name").alias("y")), "block_key")
+        .filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .filter(jac >= jaccard_threshold)
+        .distinct()
+        .localCheckpoint()
+    )
+
+    # affected components: any component owning a member of a new pair
+    members = pairs.select(F.col("a").alias("name")).unionByName(
+        pairs.select(F.col("b").alias("name"))
+    ).distinct()
+    affected_canon = (
+        existing.join(members, existing[name_col] == members["name"], "left_semi")
+        .select("canonical_id")
+        .distinct()
+    )
+    affected = existing.join(affected_canon, "canonical_id").select(
+        F.col(name_col).alias("name"), "canonical_id"
+    ).localCheckpoint()
+
+    cc_edges = pairs.unionByName(
+        affected.select(F.col("name").alias("a"), F.col("canonical_id").alias("b"))
+    )
+    comp = connected_components(cc_edges).withColumnRenamed("component", "canonical_id")
+
+    untouched = existing.select(F.col(name_col).alias("name"), "canonical_id").join(
+        affected.select("name"), "name", "left_anti"
+    )
+    resolved_names = comp.select("name")
+    new_singletons = new.join(resolved_names, "name", "left_anti").select(
+        "name", F.col("name").alias("canonical_id")
+    )
+    return untouched.unionByName(comp).unionByName(new_singletons)

@@ -76,3 +76,50 @@ def test_entity_link_scoring(spark):
     assert links["the iPhone"][0] == "iPhone"
     # typo'd org shares no token with any entity -> unlinked; unrelated too
     assert "Microsft Corp" not in links and "Banana" not in links
+
+
+def test_canonicalize_incremental_equals_full(spark):
+    """Folding a batch into an existing mapping must equal the full
+    recompute over the union name set — including the hard case where a
+    new name BRIDGES two previously separate components (jac('red blue',
+    'blue green') = 1/3 < 0.5, but the new 'Red Blue Green' verifies
+    against both at 2/3)."""
+    from knowledge_graph_builder_spark.operators.canonicalize import (
+        canonicalize_incremental,
+        canonicalize_nodes,
+    )
+
+    def mapping(df):
+        return {r.name: r.canonical_id for r in df.collect()}
+
+    batch1 = spark.createDataFrame(
+        [("Acme",), ("Acme Inc.",), ("Red Blue",), ("Blue Green",), ("Solo Name",)],
+        "name string",
+    )
+    batch2 = spark.createDataFrame(
+        [("Acme Corporation Inc",), ("Red Blue Green",), ("Fresh Unique",)],
+        "name string",
+    )
+    m1 = mapping(canonicalize_nodes(batch1).select("name", "canonical_id"))
+    existing = spark.createDataFrame(list(m1.items()), "name string, canonical_id string")
+
+    inc = mapping(canonicalize_incremental(existing, batch2))
+    full = mapping(
+        canonicalize_nodes(batch1.unionByName(batch2)).select("name", "canonical_id")
+    )
+    assert inc == full
+    # the bridge actually merged the two old components
+    assert inc["Red Blue"] == inc["Blue Green"] == inc["Red Blue Green"]
+    # untouched mapping rows pass through unchanged
+    assert inc["Solo Name"] == m1["Solo Name"]
+
+    # re-delivering already-mapped names is a no-op
+    again = mapping(canonicalize_incremental(
+        spark.createDataFrame(list(inc.items()), "name string, canonical_id string"),
+        batch2,
+    ))
+    assert again == inc
+
+    # empty batch passes the mapping through
+    empty = spark.createDataFrame([], "name string")
+    assert mapping(canonicalize_incremental(existing, empty)) == m1
