@@ -145,9 +145,13 @@ class GraphStore:
             if want is None or b in want
         ]
         if not leafs:
+            # empty-leaf path (e.g. an upsert touching only buckets the
+            # manifest has never seen) must still carry the derived _bucket
+            # column, or the caller's unionByName with the new batch fails
             schema = StructType.fromJson(json.loads(manifest["schema"]))
-            return self.spark.createDataFrame([], schema)
-        df = self.spark.read.parquet(*leafs)
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.parquet(*leafs)
         key_cols = self._KEY_COLS.get(table)
         if key_cols and all(c in df.columns for c in key_cols):
             df = df.withColumn("_bucket", self._bucket_col(key_cols))
@@ -213,6 +217,17 @@ class GraphStore:
         p = self._path(table)
         return os.path.exists(p) and any(e.startswith("_bucket=") for e in os.listdir(p))
 
+    def _table_mode(self, table: str) -> str:
+        """Effective commit protocol for one table. A table that already
+        has a manifest stays in manifest mode regardless of how this store
+        object was constructed: rename-mode writes never update the
+        manifest, and reads resolve through it, so honoring commit_mode
+        ='rename' on a manifest-layout table would silently lose every
+        subsequent write behind the stale pointer."""
+        if self._load_manifest(table) is not None:
+            return "manifest"
+        return self.commit_mode
+
     def _upsert(self, new: DataFrame, table: str, key_cols: list[str]) -> None:
         seq = self._next_seq(table)
         new = new.withColumn("_batch_seq", F.lit(seq))
@@ -222,7 +237,7 @@ class GraphStore:
         # happens at read time instead of write time
         dedup = (lambda df: df) if self.keep_history else (lambda df: self._dedup(df, key_cols))
 
-        if self.commit_mode == "manifest":
+        if self._table_mode(table) == "manifest":
             manifest = self._load_manifest(table)
             if manifest is None:
                 # first write, or one-time migration of a rename/legacy
@@ -382,7 +397,7 @@ class GraphStore:
                 # null-preserving predicate: a plain != would evaluate to
                 # NULL for rows with no session_id and silently delete them
                 keep = F.col("session_id").isNull() | (F.col("session_id") != session_id)
-                if self.commit_mode == "manifest":
+                if self._table_mode(table) == "manifest":
                     kept = df.filter(keep)
                     if "_bucket" not in kept.columns:
                         kept = kept.withColumn(

@@ -17,6 +17,8 @@ import glob
 import json
 import os
 
+from pyspark.sql import functions as F
+
 from knowledge_graph_builder_spark.sources.graph_store import GraphStore
 
 
@@ -136,6 +138,54 @@ def test_manifest_history_mode_as_of(spark, tmp_path):
         for r in store.nodes_as_of(seq1).select("name", "type", "session_id").collect()
     }
     assert asof == {("Apple", "ORG"): "s1"}
+
+
+def test_manifest_upsert_into_unseen_bucket(spark, tmp_path):
+    """Regression (round-4 advice): an upsert whose batch touches ONLY
+    buckets the manifest has never seen used to crash — the empty-leaf
+    read path returned a frame without _bucket and the unionByName with
+    the new batch failed with NUM_COLUMNS_MISMATCH."""
+    root = str(tmp_path / "g")
+    store = GraphStore(spark, root, n_buckets=64, commit_mode="manifest")
+    store.upsert_nodes(_nodes_df(spark, [("Apple", "ORG", "s1")]))
+    manifest = json.load(open(f"{root}/nodes.manifest.json"))
+    seen = set(manifest["buckets"])
+    # find a key whose bucket is NOT in the manifest yet (64 buckets, one
+    # occupied -> trivially findable)
+    fresh = None
+    for i in range(1000):
+        name = f"cand{i}"
+        b = (
+            spark.createDataFrame([(name, "ORG")], "name string, type string")
+            .select(F.pmod(F.xxhash64("name", "type"), F.lit(64)).cast("int").alias("b"))
+            .collect()[0]["b"]
+        )
+        if str(b) not in seen:
+            fresh = name
+            break
+    assert fresh is not None
+    store.upsert_nodes(_nodes_df(spark, [(fresh, "ORG", "s2")]))
+    state = _state(store)
+    assert state[("Apple", "ORG")] == "s1"
+    assert state[(fresh, "ORG")] == "s2"
+
+
+def test_reopen_manifest_store_with_default_mode_keeps_writing(spark, tmp_path):
+    """Regression (round-4 advice): a store CREATED in manifest mode but
+    REOPENED with the default commit_mode='rename' used to write through
+    the rename path while reads resolved via the stale manifest —
+    silently losing every post-reopen write. The table's on-disk layout
+    now dictates the protocol: a manifest table stays manifest."""
+    root = str(tmp_path / "g")
+    first = GraphStore(spark, root, n_buckets=8, commit_mode="manifest")
+    first.upsert_nodes(_nodes_df(spark, [("Apple", "ORG", "s1")]))
+
+    reopened = GraphStore(spark, root, n_buckets=8)  # default: rename
+    reopened.upsert_nodes(_nodes_df(spark, [("Apple", "ORG", "s2"), ("MSFT", "ORG", "s2")]))
+    assert _state(reopened) == {("Apple", "ORG"): "s2", ("MSFT", "ORG"): "s2"}
+    # and clear_session through the reopened handle also lands
+    reopened.clear_session("s2")
+    assert reopened.nodes().count() == 0
 
 
 def test_manifest_migrates_legacy_layout(spark, tmp_path):
