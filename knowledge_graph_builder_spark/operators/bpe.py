@@ -4,14 +4,14 @@ for corpus scale.
 
 The scale shape: ONE corpus scan reduces the corpus to a word-frequency
 dictionary (vocab-sized, not corpus-sized — the classic BPE training
-input), and every merge iteration then costs O(vocab): an adjacent-pair
-count aggregate (partial-aggregable, tie-broken deterministically) whose
-result is a SINGLE collected row, followed by a JVM-side fold that applies
-the merge to each word's symbol array. The corpus is never re-scanned and
-nothing wider than one (pair, count) row ever reaches the driver, so the
-loop runs the same on 100 TB as on a toy corpus. Lineage is truncated with
-``localCheckpoint`` per iteration, the same pattern as the
-connected-components loop in canonicalize.py.
+input). From there, two training strategies (see ``bpe_train``): a
+fully-distributed per-merge loop (one cheap Spark job per merge — fine
+for dozens, prohibitive at 30k merges from scheduling latency alone),
+and the real-tokenizer path that collects the bounded dictionary once
+and runs an incremental driver-side merge loop — O(1) Spark jobs total,
+independent of the merge count. The corpus is never re-scanned either
+way. Loop lineage is truncated with ``localCheckpoint`` per iteration,
+the same pattern as the connected-components loop in canonicalize.py.
 
 No per-row Python anywhere: the merge application is a higher-order
 ``F.aggregate`` fold (leftmost, non-overlapping — exactly the reference
@@ -65,15 +65,130 @@ def _apply_merge(syms, left: str, right: str):
     )
 
 
-def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text") -> DataFrame:
+def _train_from_word_freqs(items: list[tuple[str, int]], n_merges: int) -> list[tuple]:
+    """Driver-side merge loop over a (word, freq) dictionary — the classic
+    BPE training input (what SentencePiece / HF tokenizers train on).
+
+    Incremental algorithm: pair counts and a pair -> word-index posting
+    set are maintained under each merge, and the argmax comes from a
+    lazy-deletion heap keyed (-count, left, right) — the same
+    deterministic tie-break as the distributed loop (highest summed word
+    frequency, then lexicographically smallest pair). Per merge the cost
+    is O(words containing the merged pair), not O(vocab), so a 30k-merge
+    train is minutes of driver CPU over a dictionary that a single corpus
+    scan already reduced to vocab size. Parity with both ``bpe_train``'s
+    distributed loop and the naive ``bpe_train_local`` twin is pinned by
+    tests (including a 1,000-merge run).
+    """
+    import heapq
+    from collections import Counter, defaultdict
+
+    words = [list(w) for w, _ in items]
+    freqs = [int(f) for _, f in items]
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict = defaultdict(set)
+    for i, syms in enumerate(words):
+        f = freqs[i]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += f
+            pair_words[p].add(i)
+    heap = [(-c, l, r) for (l, r), c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        best = None
+        while heap:
+            negc, left, right = heapq.heappop(heap)
+            if pair_counts.get((left, right)) == -negc:  # not stale
+                best = (left, right, -negc)
+                break
+        if best is None:
+            break
+        left, right, n = best
+        merges.append((rank, left, right, left + right, n))
+        for i in sorted(pair_words[(left, right)]):
+            syms, f = words[i], freqs[i]
+            out: list[str] = []
+            pend = None
+            changed = False
+            for x in syms:
+                if pend is None:
+                    pend = x
+                elif pend == left and x == right:
+                    out.append(left + right)
+                    pend = None
+                    changed = True
+                else:
+                    out.append(pend)
+                    pend = x
+            if pend is not None:
+                out.append(pend)
+            if not changed:
+                continue
+            old_c = Counter(zip(syms, syms[1:]))
+            new_c = Counter(zip(out, out[1:]))
+            words[i] = out
+            for p in set(old_c) | set(new_c):
+                d = new_c[p] - old_c[p]
+                if d:
+                    c = pair_counts[p] + d * f
+                    if c > 0:
+                        pair_counts[p] = c
+                        heapq.heappush(heap, (-c, p[0], p[1]))
+                    else:
+                        del pair_counts[p]
+                if new_c[p] > 0:
+                    pair_words[p].add(i)
+                else:
+                    pair_words[p].discard(i)
+        pair_counts.pop((left, right), None)
+        pair_words.pop((left, right), None)
+    return merges
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    method: str = "auto",
+    min_freq: int = 1,
+) -> DataFrame:
     """Learn the top ``n_merges`` BPE merges over a document corpus.
 
     Returns (rank, left, right, merged, pair_freq) — the merge table a
     tokenizer consumes, in learned order. Pair selection is deterministic:
     highest summed word frequency, ties broken lexicographically on
     (left, right). Stops early if no adjacent pair remains.
+
+    Two physical strategies, identical output (parity pinned by test):
+
+    * ``loop`` — one Spark job per merge (adjacent-pair count aggregate
+      collecting a SINGLE row + a JVM-side fold). Each job is cheap and
+      fully distributed, but a 30k-merge tokenizer would mean 30k
+      sequential jobs — wall-clock-prohibitive from job-scheduling
+      latency alone.
+    * ``collect`` — ONE distributed corpus scan reduces the corpus to the
+      word-frequency dictionary (vocab-sized — the classic BPE training
+      input), which is collected once and trained locally with the
+      incremental ``_train_from_word_freqs`` loop. O(1) Spark jobs total,
+      independent of the merge count. ``min_freq`` optionally prunes the
+      dictionary's long tail before the collect (hapax words cannot win
+      early merges on web corpora but dominate dictionary size).
+
+    ``auto`` picks ``loop`` for <= 32 merges (keeps the fully-distributed
+    path exercised where it is cheap) and ``collect`` beyond — real
+    tokenizer merge counts must never serialize O(merges) Spark jobs.
     """
     spark = docs.sparkSession
+    if method not in ("auto", "loop", "collect"):
+        raise ValueError(f"unknown method {method!r}")
+    schema = "rank int, left string, right string, merged string, pair_freq bigint"
+    if method == "collect" or (method == "auto" and n_merges > 32):
+        wf = word_frequencies(docs, text_col)
+        if min_freq > 1:
+            wf = wf.filter(F.col("freq") >= min_freq)
+        items = sorted((r["word"], int(r["freq"])) for r in wf.collect())
+        return spark.createDataFrame(_train_from_word_freqs(items, n_merges), schema)
     words = (
         word_frequencies(docs, text_col)
         .select("freq", F.split("word", "").alias("syms"))
@@ -107,9 +222,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text") -> Dat
         words = words.select(
             "freq", _apply_merge(F.col("syms"), left, right).alias("syms")
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, merged string, pair_freq bigint"
-    )
+    return spark.createDataFrame(merges, schema)
 
 
 def bpe_train_local(texts: list[str], n_merges: int = 8) -> list[tuple]:

@@ -302,11 +302,79 @@ def test_bpe_apply_scales_in_merge_count(spark):
     assert got["lowest"][1] == bpe_apply_local([text], merges)["lowest"][1]
 
 
+def test_bpe_train_collect_parity(spark):
+    """The collect strategy (one corpus scan -> local incremental merge
+    loop) must agree exactly with the distributed loop AND the naive
+    pure-Python twin on the classic Sennrich corpus."""
+    from knowledge_graph_builder_spark.operators.bpe import bpe_train, bpe_train_local
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    expected = bpe_train_local([text], 6)
+    for method in ("loop", "collect"):
+        got = [
+            (r.rank, r.left, r.right, r.merged, r.pair_freq)
+            for r in bpe_train(docs, 6, method=method).orderBy("rank").collect()
+        ]
+        assert got == expected, method
+
+
+def test_bpe_train_scales_in_merge_count(spark):
+    """Round-3 verdict scale hazard: a real tokenizer has 30k-50k merges
+    and the per-merge distributed loop would serialize that many Spark
+    jobs. Above 32 merges, auto must take the collect path — O(1) Spark
+    jobs after the corpus scan — and a 1,000-merge train must match the
+    naive pure-Python twin exactly (including early-stop depth)."""
+    from knowledge_graph_builder_spark.operators.bpe import bpe_train, bpe_train_local
+
+    # a corpus with enough symbol diversity to sustain hundreds of merges
+    words = []
+    for i in range(400):
+        h = f"{i * 2654435761 % 2**32:08x}"  # deterministic pseudo-random hex
+        words.extend([f"w{h}"] * (i % 7 + 1))
+    text = " ".join(words)
+    docs = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    expected = bpe_train_local([text], 1000)
+    assert len(expected) > 200  # the corpus genuinely sustains deep training
+
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe-train-1000", "scale test")
+    try:
+        got = [
+            (r.rank, r.left, r.right, r.merged, r.pair_freq)
+            for r in bpe_train(docs, 1000).orderBy("rank").collect()
+        ]
+        jobs = sc.statusTracker().getJobIdsForGroup("bpe-train-1000")
+    finally:
+        sc.cancelJobGroup("bpe-train-1000")
+        sc.setJobGroup("", "")
+    assert got == expected
+    # O(1) jobs: the scan+collect plus the tiny result materialization —
+    # nothing remotely like one job per merge
+    assert len(jobs) <= 6, f"expected O(1) Spark jobs, saw {len(jobs)}"
+
+
+def test_bpe_train_min_freq_prunes_tail(spark):
+    """min_freq drops hapax words from the collected dictionary; merges
+    then reflect only the surviving words."""
+    from knowledge_graph_builder_spark.operators.bpe import bpe_train, bpe_train_local
+
+    text = " ".join(["low"] * 5 + ["newest"] * 6 + ["xyzzy"])  # xyzzy is hapax
+    docs = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_freq)
+        for r in bpe_train(docs, 4, method="collect", min_freq=2).orderBy("rank").collect()
+    ]
+    pruned_text = " ".join(["low"] * 5 + ["newest"] * 6)
+    assert got == bpe_train_local([pruned_text], 4)
+
+
 def test_bpe_empty_corpus(spark):
     from knowledge_graph_builder_spark.operators.bpe import bpe_train
 
     docs = spark.createDataFrame([(0, ""), (1, "   ")], ["doc_id", "text"])
     assert bpe_train(docs, 4).count() == 0
+    assert bpe_train(docs, 4, method="collect").count() == 0
 
 
 def test_cms_one_sided_error(spark):
