@@ -1723,6 +1723,30 @@ def _q_streaming_neardup(spark, sf_dir):
     return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _q_streaming_dsir(spark, sf_dir):
+    # Incremental DSIR (streaming/incremental.py:stream_dsir): the
+    # documents corpus delivered as a 3-micro-batch stream; each batch
+    # appends per-doc bucket counts and a bucket-distribution PARTIAL
+    # (both partial-aggregable), and read_dsir_weights rescores from the
+    # accumulated partials. The drained weights equal the batch
+    # dsir_importance, so this SHARES the dsir_weights oracle.
+    import tempfile
+
+    from knowledge_graph_builder_spark.streaming.incremental import (
+        read_dsir_weights,
+        stream_dsir,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    base = tempfile.mkdtemp(prefix="kgb_stream_dsir_")
+    in_dir = f"{base}/in"
+    for m in range(3):  # three files -> three micro-batches
+        d.filter(F.col("doc_id") % 3 == m).coalesce(1).write.mode("append").parquet(in_dir)
+    q = stream_dsir(spark, in_dir, f"{base}/store", f"{base}/ckpt", n_buckets=64)
+    q.awaitTermination(600)
+    return read_dsir_weights(spark, f"{base}/store", n_buckets=64)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     # near-dup clusters with one canonical survivor per cluster
     from knowledge_graph_builder_spark.operators.dedup import dedup_clusters
@@ -2078,15 +2102,23 @@ def _q_vocab_stats(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver's per-round correctness record
     snapshots the FIRST 50 entries only (CORRECTNESS_r02 == queries()[:50]).
-    Ordering policy: (1) queries that have never appeared in any driver
-    record, (2) queries new this round, (3) queries last recorded in r01,
-    prioritizing ones whose implementation changed this round, (4) the 50
-    already green in r02. Every query keeps its oracle regardless of
+    Ordering policy (structurally enforced by tests/test_record_freshness.py
+    against tests/query_source_hashes.json): (1) queries NEW this round,
+    (2) queries whose implementation — query body, oracle, or underlying
+    operator — CHANGED this round, (3) the flagship metrics, (4) everything
+    else in its prior order. Every query keeps its oracle regardless of
     position; tools/check_oracle.py sweeps all of them."""
     return {
-        # -- never driver-recorded before round 3 (r01/r02 windows missed
-        #    them); includes the north-rule P/R metric and the flagship
-        #    graph-analytics / tokenizer / sketch families --
+        # -- round 4: new, then operator-changed (canonicalize/CC rewrite,
+        #    exact-dup semi-join, bpe_train collect path, DSIR refactor) --
+        "streaming_dsir": _q_streaming_dsir,
+        "canonicalize": _q_canonicalize,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_members": _q_dedup_members,
+        "dsir_weights": _q_dsir_weights,
+        "streaming_neardup": _q_streaming_neardup,
+        # -- flagships: re-recorded every round --
         "kg_precision_recall": _q_kg_precision_recall,
         "kg_insights": _q_kg_insights,
         "bpe_merges": _q_bpe_merges,
@@ -2114,23 +2146,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_samples": _q_frame_samples,
         # -- new in round 3 --
         "ann_recall": _q_ann_recall,
-        "dedup_members": _q_dedup_members,
-        "streaming_neardup": _q_streaming_neardup,
         "dup_spans": _q_dup_spans,
-        "dsir_weights": _q_dsir_weights,
         "embedding_gramian": _q_embedding_gramian,
         "pca_top_eigen": _q_pca_top_eigen,
         "tpch_q2_mincost": _q_tpch_q2,
         "tpch_q11_stockvalue": _q_tpch_q11,
         "tpch_q20_excess": _q_tpch_q20,
-        # -- green in r01 only; changed-this-round first --
-        "dedup_exact": _q_dedup_exact,
-        "canonicalize": _q_canonicalize,
+        # -- last recorded r01/r03, unchanged since --
         "kg_triples": _q_kg_triples,
         "kg_events": _q_kg_events,
         "pdf_ingest": _q_pdf_ingest,
         "minhash_neardup": _q_minhash_neardup,
-        "dedup_clusters": _q_dedup_clusters,
         "simhash_bands": _q_simhash,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -2708,7 +2734,7 @@ def _knn_allpairs_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "kg_triples": _kg_triples_sql(),
         "kg_precision_recall": _kg_precision_recall_sql(),
         "bpe_merges": _bpe_merges_sql(),
@@ -4210,3 +4236,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk": _lsh_topk_sql(),
         "knn_allpairs": _knn_allpairs_sql(),
     }
+    # the drained incremental-DSIR weights equal the batch operator
+    # (pinned by test_stream_dsir_matches_batch_and_redelivery), so the
+    # streaming query shares the batch oracle verbatim
+    out["streaming_dsir"] = out["dsir_weights"]
+    return out

@@ -278,19 +278,30 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extras: dict[str, object] = {}
+    rep_host_busy: dict[str, list[float]] = {}
+    rep_samples: dict[str, list[float]] = {}
 
     def timed(name: str, fn, reps: int = 2):
         """Best-of-N over FRESH executions (fn builds and runs its whole
         job each call — nothing persisted between reps). Best-of because
         the sandbox VM shows host-level CPU steal that can uniformly
         inflate a single sample 2-3x; the minimum is the machine's
-        achievable number, which is what BASELINE compares."""
+        achievable number, which is what BASELINE compares. Every rep
+        records the HOST's busy-core reading at its start (r03 showed a
+        uniform cross-query slowdown the record couldn't attribute to
+        host load because only the scaling sub-runs logged it)."""
         best, out = float("inf"), None
+        busy, samples = [], []
         for _ in range(reps):
+            busy.append(_other_busy_cores(0.2))
             t0 = time.monotonic()
             out = fn()
-            best = min(best, time.monotonic() - t0)
+            dt = time.monotonic() - t0
+            samples.append(round(dt, 3))
+            best = min(best, dt)
         timings[name] = round(best, 3)
+        rep_host_busy[name] = busy
+        rep_samples[name] = samples
         return out
 
     # headline 1: full KG pipeline (fused single-shuffle path), turns/sec.
@@ -331,13 +342,38 @@ def main() -> None:
     # measured reps 1-2 at full size run 30-75% over steady state purely
     # on codegen/plan-cache effects, so best-of-2 after a tiny warm-up
     # records compilation, not the operator. One untimed full-size run
-    # first, same policy as the kg_pipeline warm-up intent.
+    # first, same policy as the kg_pipeline warm-up intent. The warm-up's
+    # own wall is recorded (round-3 advice: the methodology change made
+    # 'canonicalize' a steady-state number; the warm-up wall keeps the
+    # cold number visible for cross-round comparison).
+    t_w = time.monotonic()
     canonicalize_nodes(alias_names).select("canonical_id").distinct().count()
+    extras["canonicalize_warmup_sec"] = round(time.monotonic() - t_w, 3)
     n_components = timed(
         "canonicalize",
         lambda: canonicalize_nodes(alias_names).select("canonical_id").distinct().count(),
     )
     extras["canonicalize_components"] = n_components
+
+    # the size gate sends the 30k-name pair graph down the driver
+    # union-find, so ALSO time the distributed CC loop explicitly on the
+    # same verified pair set (precomputed once, checkpointed — the timed
+    # region is the loop itself, the 100 TB path)
+    from knowledge_graph_builder_spark.operators.canonicalize import (
+        candidate_pairs,
+        connected_components,
+    )
+
+    alias_pairs = candidate_pairs(alias_names.select("name"))
+    alias_pairs.count()  # materialize the checkpoint outside the timed region
+    connected_components(alias_pairs, small_graph_threshold=0).groupBy().count().collect()
+    timed(
+        "cc_distributed",
+        lambda: connected_components(alias_pairs, small_graph_threshold=0)
+        .groupBy()
+        .count()
+        .collect(),
+    )
 
     # headline 4: corpus dedup + similarity + analytics (each rep builds
     # its frame from scratch; none of these persist anything)
@@ -346,6 +382,12 @@ def main() -> None:
     timed("ann_topk", lambda: entrymod._q_ann_topk(spark, sf_dir).collect())
     timed("tpch_q1", lambda: entrymod._q_tpch_q1(spark, sf_dir).collect())
     timed("conv_assembly", lambda: entrymod._q_conv_assembly(spark, sf_dir).count())
+
+    # round-3 curation operators, previously correctness-only (round-3
+    # verdict ask #3): regressions in them are now visible per round
+    timed("dup_spans", lambda: entrymod._q_dup_spans(spark, sf_dir).count())
+    timed("dsir_weights", lambda: entrymod._q_dsir_weights(spark, sf_dir).count())
+    timed("embedding_gramian", lambda: entrymod._q_embedding_gramian(spark, sf_dir).count())
 
     # north_rule scaling evidence: local[2] vs local[8], fresh JVM each
     # (skippable via KGB_SKIP_SCALING=1 for quick iteration). Runs on a 6x
@@ -371,6 +413,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "rep_samples_sec": rep_samples,
+                "rep_host_busy_cores": rep_host_busy,
                 "sf": sf,
                 "cpus": cpus,
                 **extras,

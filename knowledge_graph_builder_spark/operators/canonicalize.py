@@ -16,10 +16,12 @@ Pipeline:
    bounded, so no block's pair fan-out can skew a task; recall for names
    sharing ONLY a hot token comes from the LSH bands instead.
 3. verification: Jaccard over token sets >= threshold.
-4. connected components over the verified pair graph via alternating
-   large-star / small-star DataFrame joins (Kiveris et al., "Connected
-   Components in MapReduce and Beyond", SoCC'14) with localCheckpoint per
-   iteration to cut lineage.
+4. connected components over the verified pair graph — size-gated
+   physical strategy: a driver-side union-find when the pair set fits
+   the driver (probed with an early-exiting limit+count), else
+   alternating large-star / small-star DataFrame joins (Kiveris et al.,
+   "Connected Components in MapReduce and Beyond", SoCC'14) with
+   localCheckpoint per iteration to cut lineage.
 5. canonical_id = min member of each component.
 
 All stages are shuffles on bounded keys; the iterative loop converges in
@@ -131,81 +133,164 @@ def candidate_pairs(
     return pairs
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+def _cc_driver(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a collected pair list — the small-graph
+    physical strategy of ``connected_components``. Path-compressed,
+    union-by-size; the component label is the MINIMUM member, identical to
+    the distributed loop (parity pinned by test)."""
+    spark = edges.sparkSession
+    rows = edges.select("a", "b").collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    size: dict = {}
+    for r in rows:
+        a, b = find(r["a"]), find(r["b"])
+        if a == b:
+            continue
+        if size.get(a, 1) < size.get(b, 1):
+            a, b = b, a
+        parent[b] = a
+        size[a] = size.get(a, 1) + size.get(b, 1)
+    members: dict = {}
+    nodes = {r["a"] for r in rows} | {r["b"] for r in rows}
+    for n in nodes:
+        members.setdefault(find(n), []).append(n)
+    out = sorted((n, min(ms)) for ms in members.values() for n in ms)
+    dtype = edges.schema["a"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([StructField("name", dtype), StructField("component", dtype)])
+    return spark.createDataFrame(out, schema)
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 20,
+    small_graph_threshold: int = 1_000_000,
+) -> DataFrame:
     """edges(a, b) -> (name, component) via alternating large-star /
     small-star until fixpoint. Components are identified by their
-    lexicographically smallest member."""
-    # initial neighbor list includes self-loops so singletons survive.
-    # one explode pass instead of a 4-way union keeps the input stage at
-    # the source partition count; no upfront distinct — duplicate edges
-    # are harmless to the min() aggregates and the first iteration's
-    # end-of-round distinct collapses them.
-    e = (
-        edges.select(
+    lexicographically smallest member.
+
+    Physical strategy is size-gated, the same engine-picks-the-plan
+    pattern as ``bpe_train``/``bpe_apply``: a ``limit(k+1).count()`` probe
+    (early-exiting — it never scans more than k+1 rows of a huge pair set)
+    decides whether the pair graph fits the driver. At or below the
+    threshold, a driver-side union-find resolves components in one pass —
+    the iterative loop's per-round fixed cost (multiple exchanges + a
+    convergence-signature job) dwarfs the data cost there. Above it, the
+    distributed large-star/small-star loop runs, whose per-round cost
+    scales with the data and whose round count is O(log n) — the only
+    path that exists at web scale. Both produce byte-identical output
+    (pinned by test); pass ``small_graph_threshold=0`` to force the
+    distributed loop."""
+    if small_graph_threshold and (
+        edges.limit(small_graph_threshold + 1).count() <= small_graph_threshold
+    ):
+        return _cc_driver(edges)
+
+    # canonical undirected representation: (u, v) with v < u ("points at
+    # the smaller endpoint"); self-loops dropped. Round-3 shipped a
+    # variant that passed v<u edges through large-star unchanged — it
+    # reaches a STABLE NON-STAR fixpoint on chains of diameter >= 4
+    # (caught by the driver-union-find parity test), so each star step
+    # below now follows the paper operator exactly.
+    def _symmetrize(df: DataFrame) -> DataFrame:
+        return df.select(
             F.explode(
                 F.array(
-                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
-                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
-                    F.struct(F.col("a").alias("u"), F.col("a").alias("v")),
-                    F.struct(F.col("b").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
                 )
             ).alias("uv")
-        )
-        .select("uv.u", "uv.v")
+        ).select("uv.u", "uv.v")
+
+    e = (
+        edges.filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         # lazy: materialized by the first iteration's first job instead of
         # an extra eager job here (edges is itself checkpointed upstream,
-        # so the recompute window is one cheap explode)
+        # so the recompute window is one cheap projection)
         .localCheckpoint(eager=False)
     )
     prev_sig = None
     for _ in range(max_iterations):
-        # large-star: connect every neighbor >= u to min(neighborhood)
-        nbr_min = e.groupBy("u").agg(F.min("v").alias("m"))
+        sym = _symmetrize(e)
+        # large-star(u): m = min(Γ(u) ∪ {u}); re-point every STRICTLY
+        # LARGER neighbor at m. Every undirected edge is processed at its
+        # smaller endpoint, so the emissions alone carry the whole graph.
+        nbr_min = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
         large = (
-            e.join(nbr_min, "u")
-            .filter(F.col("v") >= F.col("u"))
+            sym.filter(F.col("v") > F.col("u"))
+            .join(nbr_min, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
         )
-        keep_small = e.filter(F.col("v") < F.col("u"))
-        # no dedup here: duplicate edges change neither min() below nor
-        # the small-star output set, and the end-of-iteration distinct
-        # collapses them — one shuffle saved per iteration. persist()
-        # because the small-star step reads new_e twice.
-        new_e = large.union(keep_small).union(
-            nbr_min.select(F.col("u"), F.col("m").alias("v"))
-        ).persist()
 
-        # small-star: point all smaller neighbors at the minimum.
-        # ONE lineage-cutting checkpoint per iteration (covers both star
-        # steps) keeps the plan bounded; it is LAZY so the signature
-        # aggregate below materializes it — one job per iteration, not two.
-        nbr_min2 = new_e.groupBy("u").agg(F.min("v").alias("m"))
+        # small-star(u): m = min(Γ(u) ∪ {u}); point every neighbor <= u
+        # AND u itself at m. Processed on the symmetrized large output;
+        # no dedup between the steps — duplicates change no min() and the
+        # end-of-round distinct collapses them.
+        sym2 = _symmetrize(large).persist()
+        nbr_min2 = sym2.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
         small = (
-            new_e.filter(F.col("v") <= F.col("u"))
+            sym2.filter(F.col("v") < F.col("u"))
             .join(nbr_min2, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(nbr_min2.select("u", F.col("m").alias("v")))
+            .unionByName(nbr_min2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
             .distinct()
+            # ONE lineage-cutting checkpoint per round; LAZY so the
+            # signature aggregate below materializes it — one job per
+            # round, not two.
             .localCheckpoint(eager=False)
         )
-        # converged when the edge set is stable across an iteration.
+        # converged when the edge set is stable across a full round.
         # (count, sum-of-hash) is an order-insensitive signature of the
-        # deduped set — one aggregate job per iteration instead of a
-        # count plus an exceptAll set-difference. This collect doubles as
-        # the checkpoint-materializing action.
+        # deduped set — one aggregate job per round instead of a count
+        # plus an exceptAll set-difference. This collect doubles as the
+        # checkpoint-materializing action.
         row = small.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal sum: ANSI mode would raise on long overflow
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
         sig = (row["n"], row["h"])
-        new_e.unpersist()
+        sym2.unpersist()
         e = small
         if sig == prev_sig:
             break
         prev_sig = sig
+    # at the star-forest fixpoint every non-root points straight at its
+    # component min; roots appear only on the v side — add their self-rows
     comp = e.groupBy("u").agg(F.min("v").alias("component"))
-    return comp.select(F.col("u").alias("name"), "component")
+    roots = (
+        e.select(F.col("v").alias("u"))
+        .distinct()
+        .join(comp.select("u"), "u", "left_anti")
+        .select("u", F.col("u").alias("component"))
+    )
+    out = comp.unionByName(roots)
+    # nodes whose ONLY edge was a self-loop were dropped by the canonical
+    # orientation; they still exist and map to themselves (parity with the
+    # driver union-find). Tiny frame: distinct self-loop endpoints not
+    # already mapped.
+    lonely = (
+        edges.filter(F.col("a") == F.col("b"))
+        .select(F.col("a").alias("u"))
+        .distinct()
+        .join(out.select("u"), "u", "left_anti")
+        .select("u", F.col("u").alias("component"))
+    )
+    return out.unionByName(lonely).select(F.col("u").alias("name"), "component")
 
 
 def canonicalize_nodes(nodes: DataFrame, max_block: int = 50, jaccard_threshold: float = 0.5) -> DataFrame:

@@ -136,6 +136,25 @@ def dsir_importance(
 
     Returns (doc_id, n_feats, log_weight).
     """
+    feats = dsir_features(docs, target_filter, id_col, text_col, n_buckets)
+    per_doc_bucket = feats.groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
+    dist = feats.groupBy("bucket").agg(
+        F.count("*").alias("q_cnt"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("p_cnt"),
+    )
+    return dsir_score(per_doc_bucket, dist, n_buckets, smoothing)
+
+
+def dsir_features(
+    docs: DataFrame,
+    target_filter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(doc_id, is_target, bucket) feature rows — the shared featurization
+    of batch ``dsir_importance`` and ``streaming.stream_dsir`` (they must
+    hash grams identically or the drain-equality pin is meaningless)."""
     words = F.split(normalize_text_col(F.col(text_col)), " ")
     words = F.filter(words, lambda w: w != "")
     bigrams = F.when(F.size(words) < 2, F.array().cast("array<string>")).otherwise(
@@ -149,17 +168,23 @@ def dsir_importance(
         F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
         % n_buckets
     ).alias("bucket")
-    feats = docs.select(
+    return docs.select(
         F.col(id_col).alias("doc_id"),
         target_filter.alias("is_target"),
         F.explode(grams).alias("gram"),
     ).select("doc_id", "is_target", bucket)
 
-    per_doc_bucket = feats.groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
-    dist = feats.groupBy("bucket").agg(
-        F.count("*").alias("q_cnt"),
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("p_cnt"),
-    )
+
+def dsir_score(
+    per_doc_bucket: DataFrame,
+    dist: DataFrame,
+    n_buckets: int = 64,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Score docs from (doc_id, bucket, cnt) rows and a (bucket, q_cnt,
+    p_cnt) distribution — the read-time half shared by the batch and
+    streaming paths. Both aggregates are partial-aggregable, so the
+    streaming store can keep per-batch PARTIALS and sum them here."""
     totals = dist.agg(
         F.sum("q_cnt").alias("q_tot"), F.sum("p_cnt").alias("p_tot")
     )

@@ -60,7 +60,12 @@ def exact_duplicates(
 
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     sample = (
-        fp.withColumn("rn", F.row_number().over(w))
+        # semi-join against the n_docs>=2 groups FIRST: the corpus is
+        # typically dominated by singleton fingerprints, and without the
+        # semi-join the window would sort the whole corpus only to discard
+        # its output at the final join (round-4 advice)
+        fp.join(groups.select("fingerprint"), "fingerprint", "left_semi")
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= member_sample)  # WindowGroupLimit pushes this into the sort
         .groupBy("fingerprint")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("sample_ids"))

@@ -113,23 +113,35 @@ class Checkpointer:
         writer.parquet(path)
         out = self.spark.read.parquet(path)
         # per-partition lineage: row count per written file (north_rule
-        # "per-partition lineage + metrics") — read from parquet metadata,
-        # one cheap metadata-only job.
+        # "per-partition lineage + metrics"). The per-file counts land in
+        # a PARQUET SIDECAR via a distributed write — at the SCALE.md
+        # design point a stage has ~400k kernel partitions, and collecting
+        # per-file rows to the driver (the round-3 shape) meant a ~400k-row
+        # collect plus a multi-MB JSON manifest entry per stage. The
+        # manifest row keeps only the bounded aggregates (rows, n_files,
+        # wall); ``partition_rows(stage)`` reads the sidecar back as a
+        # DataFrame.
         from pyspark.sql import functions as F
 
         per_part = (
             out.groupBy(F.input_file_name().alias("f"))
             .count()
             .select(F.element_at(F.split("f", "/"), -1).alias("file"), "count")
-            .collect()
+        )
+        sidecar = self._sidecar_path(name)
+        per_part.write.mode("overwrite").parquet(sidecar)
+        agg = (
+            self.spark.read.parquet(sidecar)
+            .agg(F.sum("count").alias("rows"), F.count(F.lit(1)).alias("n_files"))
+            .collect()[0]
         )
         row = {
             "run_id": self.run_id,
             "stage": name,
             "fingerprint": self.fingerprint,
-            "output_rows": sum(r["count"] for r in per_part),
-            "n_partitions": len(per_part),
-            "partition_rows": {r["file"]: r["count"] for r in per_part},
+            "output_rows": int(agg["rows"] or 0),
+            "n_partitions": int(agg["n_files"]),
+            "partition_rows_sidecar": os.path.basename(sidecar),
             "wall_ms": int((time.monotonic() - t0) * 1000),
             "status": "ok",
         }
@@ -138,6 +150,15 @@ class Checkpointer:
         self.lineage.append(row)
         self._manifest[name] = row
         return out
+
+    def _sidecar_path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}._lineage")
+
+    def partition_rows(self, name: str) -> DataFrame:
+        """The per-file lineage of a completed stage: (file, count) rows
+        read back from the stage's parquet sidecar — distributed, never a
+        driver-side dict."""
+        return self.spark.read.parquet(self._sidecar_path(name))
 
 
 def run_pipeline(

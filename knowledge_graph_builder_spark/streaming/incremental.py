@@ -377,13 +377,25 @@ def stream_neardup_minhash(
     writes and the mark re-runs the batch, whose per-batch-directory
     writes are overwrite-idempotent. After any prefix of batches, the
     union of emitted pairs equals the BATCH ``minhash_near_duplicates``
-    over the documents delivered so far (pinned by test) — streaming adds
-    no approximation, only incrementality.
+    over the documents delivered so far (pinned by test), with ONE
+    deliberate divergence: the hot-bucket cap is evaluated against the
+    ACCUMULATED store at each batch, so a bucket that crosses
+    ``max_bucket`` mid-stream keeps the (verified, correct) pairs it
+    emitted while still under the cap, whereas the batch path drops the
+    whole hot bucket. Streaming output is therefore a SUPERSET of batch
+    on corpora where a bucket crosses the cap after emitting pairs —
+    every extra pair is still exact-Jaccard-verified, so this errs toward
+    recall, never precision. Exact equality holds whenever no bucket
+    crosses the cap mid-stream (the tested regime).
 
     State at 10^12 docs: the signature store is (doc_id, sig) — tiny rows,
     bucketable; the doc store is the corpus the pipeline lands anyway. No
     Spark keyed state is used at all, so restart cost is the checkpoint's,
-    not a state-store rebuild.
+    not a state-store rebuild. NOTE: the per-batch store layout is listed
+    with ``os.listdir``, which pins this store to a filesystem the driver
+    can see (local/NFS/HDFS-fuse); an object-store deployment would list
+    via the Hadoop FileSystem API or keep the batch index in a manifest —
+    the GraphStore manifest protocol is the pattern to reuse.
     """
     import hashlib
 
@@ -480,6 +492,115 @@ def stream_neardup_minhash(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dsir(
+    spark: SparkSession,
+    input_path: str,
+    store_root: str,
+    checkpoint_dir: str,
+    target_lang: str = "en",
+    n_buckets: int = 64,
+    available_now: bool = True,
+):
+    """Incremental DSIR (round-3 verdict ask #8): the importance-weight
+    curation step running per micro-batch instead of as a batch sweep.
+
+    DSIR scores depend on the GLOBAL bucket distribution, so a truly
+    incremental design splits the operator at its partial-aggregable
+    seam:
+
+    * per batch (O(batch) work, exactly-once via the BatchLedger):
+      featurize the new docs (shared ``dsir_features`` kernel — hash
+      parity with the batch operator is what makes the drain pin
+      meaningful) and append TWO partial stores: per-doc bucket counts
+      (doc_id, bucket, cnt) and the batch's bucket-distribution partial
+      (bucket, q_cnt, p_cnt);
+    * at read time (``read_dsir_weights``): sum the distribution partials
+      (n_buckets rows per batch — tiny) and score the accumulated per-doc
+      counts with the shared ``dsir_score``.
+
+    After any prefix of batches, ``read_dsir_weights`` equals the batch
+    ``dsir_importance`` over the documents delivered so far (pinned by
+    test, including after a fresh-checkpoint full re-delivery) — the
+    scores of EARLIER docs legitimately change as later batches shift the
+    corpus distribution, which is exactly why the rescore lives at read
+    time rather than in the per-batch write.
+
+    Input schema: (doc_id bigint, text string, lang string); the target
+    subset is lang == ``target_lang`` (same shape as the driver query's
+    batch oracle). Store layout matches ``stream_neardup_minhash`` (per-
+    batch directories, overwrite-idempotent, driver-listable filesystem).
+    """
+    import hashlib
+
+    from ..operators.curation import dsir_features
+    from ..sources.graph_store import BatchLedger
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_path)
+    )
+    lineage = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    ledger = BatchLedger(f"{store_root}/_applied_batches/{lineage}")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if ledger.applied(batch_id):
+            return
+        feats = dsir_features(
+            batch_df, F.col("lang") == target_lang, n_buckets=n_buckets
+        )
+        per_doc = feats.groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
+        per_doc.write.mode("overwrite").parquet(
+            f"{store_root}/doc_buckets/batch={batch_id}"
+        )
+        dist = feats.groupBy("bucket").agg(
+            F.count("*").alias("q_cnt"),
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("p_cnt"),
+        )
+        dist.write.mode("overwrite").parquet(f"{store_root}/dist/batch={batch_id}")
+        ledger.mark(batch_id)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_dsir_weights(
+    spark: SparkSession, store_root: str, n_buckets: int = 64, smoothing: float = 1.0
+) -> DataFrame:
+    """Current DSIR weights over everything ``stream_dsir`` has ingested:
+    sum the per-batch distribution partials, score the accumulated
+    per-doc bucket counts (shared ``dsir_score``)."""
+    import os
+
+    from ..operators.curation import dsir_score
+
+    def _dirs(sub: str) -> list[str]:
+        root = f"{store_root}/{sub}"
+        if not os.path.isdir(root):
+            return []
+        return [
+            f"{root}/{d}" for d in sorted(os.listdir(root)) if d.startswith("batch=")
+        ]
+
+    doc_dirs, dist_dirs = _dirs("doc_buckets"), _dirs("dist")
+    if not doc_dirs or not dist_dirs:
+        return spark.createDataFrame([], "doc_id bigint, n_feats int, log_weight double")
+    per_doc = spark.read.schema("doc_id bigint, bucket bigint, cnt bigint").parquet(
+        *doc_dirs
+    )
+    dist = (
+        spark.read.schema("bucket bigint, q_cnt bigint, p_cnt bigint")
+        .parquet(*dist_dirs)
+        .groupBy("bucket")
+        .agg(F.sum("q_cnt").alias("q_cnt"), F.sum("p_cnt").alias("p_cnt"))
+    )
+    return dsir_score(per_doc, dist, n_buckets, smoothing)
 
 
 def read_neardup_pairs(spark: SparkSession, store_root: str) -> DataFrame:

@@ -50,6 +50,76 @@ def test_connected_components_chain(spark):
     assert comp["d"] == comp["e"] == "d"
 
 
+def test_connected_components_driver_distributed_parity(spark):
+    """The size-gated driver union-find and the large-star/small-star
+    loop must produce identical (name, component) sets — exercised on a
+    graph with a long chain (loop-stress), a star, duplicate and
+    self-referential edges, and both orientations."""
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(12)]  # chain n00..n12
+        + [("hub", m) for m in ("s1", "s2", "s3")]  # star
+        + [("s2", "hub"), ("hub", "s1"), ("zz", "zz")],  # dupes + self-loop
+        ["a", "b"],
+    )
+    fast = {(r["name"], r["component"]) for r in connected_components(edges).collect()}
+    slow = {
+        (r["name"], r["component"])
+        for r in connected_components(edges, small_graph_threshold=0).collect()
+    }
+    assert fast == slow
+    comp = dict(fast)
+    assert all(comp[f"n{i:02d}"] == "n00" for i in range(13))
+    assert comp["hub"] == comp["s1"] == comp["s2"] == comp["s3"] == "hub"
+    assert comp["zz"] == "zz"
+
+
+def test_connected_components_random_graph_property(spark):
+    """Property pin for the rewritten alternating loop: on seeded random
+    graphs (mixed chain/star/random-attachment edges) the distributed
+    loop must equal the driver union-find exactly."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edge_list = []
+        for i in range(n):
+            if rng.random() < 0.7:
+                edge_list.append((f"v{i:03d}", f"v{rng.randrange(n):03d}"))
+        # plus one long chain to stress round count
+        edge_list += [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(15)]
+        edges = spark.createDataFrame(edge_list, ["a", "b"])
+        fast = {
+            (r["name"], r["component"]) for r in connected_components(edges).collect()
+        }
+        slow = {
+            (r["name"], r["component"])
+            for r in connected_components(edges, small_graph_threshold=0).collect()
+        }
+        assert fast == slow, f"trial {trial}"
+
+
+def test_connected_components_gate_respects_threshold(spark):
+    """Above the threshold the distributed loop runs (observable as a
+    multi-job group); the probe itself never full-counts a big input."""
+    edges = spark.createDataFrame([("a", "b"), ("b", "c"), ("d", "e")], ["a", "b"])
+    # threshold 2 < 3 edges -> distributed loop; result unchanged
+    comp = {
+        r["name"]: r["component"]
+        for r in connected_components(edges, small_graph_threshold=2).collect()
+    }
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+
+def test_connected_components_nonstring_ids(spark):
+    """dedup_clusters runs CC over doc ids that may be integers — the
+    driver path must preserve the id type."""
+    edges = spark.createDataFrame([(1, 2), (2, 3), (9, 10)], "a long, b long")
+    comp = {r["name"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 9: 9, 10: 9}
+    assert connected_components(edges).schema["component"].dataType.typeName() == "long"
+
+
 def test_rewrite_edges(spark):
     canonical = spark.createDataFrame(
         [("Apple Inc", "Apple"), ("Apple", "Apple"), ("MSFT", "MSFT")],

@@ -47,14 +47,51 @@ def test_insights_and_histogram(spark):
 
 
 def test_per_partition_lineage(spark, tmp_path):
+    """Manifest rows carry only bounded aggregates; the per-file counts
+    live in a parquet sidecar readable through Checkpointer.partition_rows
+    (round-3 verdict: never collect ~400k per-file rows to the driver)."""
+    from knowledge_graph_builder_spark.plans.pipeline import Checkpointer
+
+    ckpt_dir = str(tmp_path / "c")
     res = run_pipeline(
-        spark, golden_transcripts(spark), checkpoint_dir=str(tmp_path / "c"), run_id="r"
+        spark, golden_transcripts(spark), checkpoint_dir=ckpt_dir, run_id="r"
     )
     by_stage = {row["stage"]: row for row in res.lineage}
+    ckpt = Checkpointer(ckpt_dir, "r", spark)
     for stage in ("kernel_rows", "entities", "triples", "events"):
         row = by_stage[stage]
         assert row["n_partitions"] >= 1
-        assert sum(row["partition_rows"].values()) == row["output_rows"]
+        assert "partition_rows" not in row  # the dict must NOT be driver-side
+        side = ckpt.partition_rows(stage)
+        agg = side.groupBy().sum("count").collect()[0][0]
+        assert agg == row["output_rows"]
+        assert side.count() == row["n_partitions"]
+
+
+def test_lineage_sidecar_many_files(spark, tmp_path):
+    """A stage written as thousands of files must keep its manifest row
+    bounded: the JSON entry stays tiny while the sidecar carries one row
+    per file (the SCALE.md ~400k-kernel-partition shape, downscaled)."""
+    import json as _json
+    import os
+
+    from knowledge_graph_builder_spark.plans.pipeline import Checkpointer
+
+    root = str(tmp_path / "many")
+    ckpt = Checkpointer(root, "r", spark)
+    n_files = 2000
+    ckpt.stage("wide", lambda: spark.range(4 * n_files).repartition(n_files))
+    row = ckpt.lineage[0]
+    assert row["output_rows"] == 4 * n_files
+    assert row["n_partitions"] == n_files
+    # the manifest line itself is O(100 bytes), not O(n_files)
+    with open(os.path.join(root, "manifest.jsonl")) as fh:
+        line = fh.readline()
+    assert len(line) < 1000
+    assert _json.loads(line)["partition_rows_sidecar"] == "wide._lineage"
+    side = ckpt.partition_rows("wide")
+    assert side.count() == n_files
+    assert side.groupBy().sum("count").collect()[0][0] == 4 * n_files
 
 
 def test_event_set_matches_reference(spark):

@@ -363,3 +363,62 @@ def test_stream_neardup_matches_batch_and_restarts(spark, tmp_path):
     q2 = stream_neardup_minhash(spark, inp, store, str(tmp_path / "ck2"), threshold=0.5)
     q2.awaitTermination(180)
     assert pairset() == expected
+
+
+def test_stream_dsir_matches_batch_and_redelivery(spark, tmp_path):
+    """Incremental DSIR: after the stream drains, read_dsir_weights over
+    the accumulated partial stores equals batch dsir_importance on the
+    same docs — INCLUDING earlier docs whose scores shifted when later
+    batches changed the corpus distribution. A full re-delivery with a
+    fresh checkpoint (every batch re-sent) leaves the weights identical
+    (per-batch overwrite + BatchLedger idempotence)."""
+    from knowledge_graph_builder_spark.operators.curation import dsir_importance
+    from knowledge_graph_builder_spark.streaming.incremental import (
+        read_dsir_weights,
+        stream_dsir,
+    )
+    from pyspark.sql import functions as F
+
+    batches = [
+        [(1, "the quick brown fox jumps over the lazy dog", "en"),
+         (2, "der schnelle braune fuchs springt", "de")],
+        [(3, "a quiet river bank in the morning light", "en"),
+         (4, "le renard brun rapide saute", "fr")],
+        [(5, "the lazy dog sleeps near the river bank", "en")],
+    ]
+    inp = str(tmp_path / "dsir_in")
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string"
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    store = str(tmp_path / "dsir_store")
+    q = stream_dsir(spark, inp, store, str(tmp_path / "dck1"), n_buckets=32)
+    q.awaitTermination(180)
+
+    def weights():
+        return {
+            r.doc_id: (r.n_feats, round(r.log_weight, 6))
+            for r in read_dsir_weights(spark, store, n_buckets=32).collect()
+        }
+
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id bigint, text string, lang string"
+    )
+    expected = {
+        r.doc_id: (r.n_feats, round(r.log_weight, 6))
+        for r in dsir_importance(
+            all_docs, F.col("lang") == "en", n_buckets=32
+        ).collect()
+    }
+    got = weights()
+    assert got == expected, (got, expected)
+    # the target/non-target split genuinely separates: every English doc
+    # outweighs every non-English one on this corpus
+    en = {1, 3, 5}
+    assert min(got[d][1] for d in en) > max(got[d][1] for d in got if d not in en)
+
+    # full re-delivery with a fresh checkpoint lineage
+    q2 = stream_dsir(spark, inp, store, str(tmp_path / "dck2"), n_buckets=32)
+    q2.awaitTermination(180)
+    assert weights() == expected
