@@ -16,19 +16,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import ngrams_col
+
 
 def _gram_col(text_col: str, n: int):
     """Word n-gram array (lowercased, whitespace-tokenized); empty array
     for blank/short texts. Mirrors textstats.repetition_stats."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     empty = F.length(F.trim(F.col(text_col))) == 0
-    return F.when(
-        empty | (F.size(words) < n), F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
-        )
+    return F.when(empty, F.array().cast("array<string>")).otherwise(
+        ngrams_col(words, n)
     )
 
 

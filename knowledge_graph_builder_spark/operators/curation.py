@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import normalize_text_col
+from .dedup import ngrams_col, normalize_text_col
 from .sampling import _threshold_hex, sample_bucket_col
 from .textstats import token_count_col
 
@@ -31,13 +31,8 @@ def _rep_ratio_col(text_col: str, n: int = 3):
     """Duplicate word-n-gram fraction (mirrors textstats.repetition_stats)."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     empty = F.length(F.trim(F.col(text_col))) == 0
-    grams = F.when(
-        empty | (F.size(words) < n), F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
-        )
+    grams = F.when(empty, F.array().cast("array<string>")).otherwise(
+        ngrams_col(words, n)
     )
     n_grams = F.size(grams)
     return F.when(n_grams == 0, F.lit(0.0)).otherwise(
@@ -157,13 +152,7 @@ def dsir_features(
     hash grams identically or the drain-equality pin is meaningless)."""
     words = F.split(normalize_text_col(F.col(text_col)), " ")
     words = F.filter(words, lambda w: w != "")
-    bigrams = F.when(F.size(words) < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.array_join(F.slice(words, i, 2), " "),
-        )
-    )
-    grams = F.concat(words, bigrams)
+    grams = F.concat(words, ngrams_col(words, 2))
     bucket = (
         F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
         % n_buckets

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import ngrams_col
+
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
 LANG_MARKERS: dict[str, list[str]] = {
     "en": [" the ", " and ", " of ", " to ", " is "],
@@ -197,17 +199,12 @@ def repetition_stats(
     """Gopher-style repetition signal: the fraction of duplicate word
     n-grams per document (high ratio = boilerplate/looping text, a
     standard pretraining quality filter). Pure column expressions — the
-    n-gram array is built with transform/slice (linear in text length,
-    codegen'd), counted per row; no explode, no shuffle at all."""
+    n-gram array is built with the shared zip_with kernel (linear in text
+    length), counted per row; no explode, no shuffle at all."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     empty = F.length(F.trim(F.col(text_col))) == 0
-    grams = F.when(
-        empty | (F.size(words) < n), F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
-        )
+    grams = F.when(empty, F.array().cast("array<string>")).otherwise(
+        ngrams_col(words, n)
     )
     n_grams = F.size(grams)
     n_distinct = F.size(F.array_distinct(grams))
@@ -287,24 +284,18 @@ def ngram_vocab_stats(
     """
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     words = F.filter(words, lambda x: x != "")
-    empty = F.array().cast("array<struct<n:int,gram:string>>")
-    grams = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(max_n)),
-            # sequence(1, k) with k < 1 counts DOWN, so guard short rows
-            # with an explicit empty array instead
-            lambda n: F.when(
-                F.size(words) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(words) - n + 1),
-                    lambda i: F.struct(
-                        n.cast("int").alias("n"),
-                        F.array_join(F.slice(words, i, n), " ").alias("gram"),
-                    ),
-                ),
-            ).otherwise(empty),
+    # one tagged n-gram array per n (max_n is a Python int, so the fast
+    # zip_with kernel applies per level; short rows yield empty arrays).
+    # NB: the tagging lambda must take exactly ONE param — PySpark binds a
+    # second transform() param to the ARRAY INDEX, so a captured-default
+    # `n=n` would silently become the element position.
+    def _tagged(n: int):
+        return F.transform(
+            ngrams_col(words, n),
+            lambda g: F.struct(F.lit(n).cast("int").alias("n"), g.alias("gram")),
         )
-    )
+
+    grams = F.concat(*[_tagged(n) for n in range(1, max_n + 1)])
     exploded = (
         docs.filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(F.explode(grams).alias("g"))
@@ -434,10 +425,7 @@ def cross_doc_duplicated_spans(
     grams = sized.filter(F.col("n_tokens") >= n).select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
-                lambda i: F.md5(F.array_join(F.slice(F.col("w"), i, n), " ")),
-            )
+            F.transform(ngrams_col(F.col("w"), n), lambda g: F.md5(g))
         ).alias("pos", "gram"),
     )
     dup_grams = (
