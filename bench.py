@@ -293,7 +293,11 @@ def main() -> None:
         best, out = float("inf"), None
         busy, samples = [], []
         for _ in range(reps):
-            busy.append(_other_busy_cores(0.2))
+            # bounded wait for background load to clear before the rep
+            # starts (the r04 canonicalize reps caught a 1.7-busy-core
+            # window and read 2x over steady state; a 20 s bounded wait
+            # costs little and the residual reading is recorded either way)
+            busy.append(_wait_for_quiet(max_busy=1.0, timeout=20.0))
             t0 = time.monotonic()
             out = fn()
             dt = time.monotonic() - t0
@@ -352,6 +356,8 @@ def main() -> None:
     n_components = timed(
         "canonicalize",
         lambda: canonicalize_nodes(alias_names).select("canonical_id").distinct().count(),
+        reps=3,  # the operator with the standing <5.5s target: one extra
+        # rep keeps a single noisy window from writing the record
     )
     extras["canonicalize_components"] = n_components
 
