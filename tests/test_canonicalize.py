@@ -99,6 +99,21 @@ def test_connected_components_random_graph_property(spark):
         assert fast == slow, f"trial {trial}"
 
 
+def test_connected_components_distributed_deep_chain(spark):
+    """The distributed loop must fully converge on a 40-node chain —
+    the exact shape the round-3 variant silently mis-resolved (it
+    reached a stable non-star fixpoint and mapped nodes two hops up
+    instead of to the component minimum)."""
+    edges = spark.createDataFrame(
+        [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(40)], ["a", "b"]
+    )
+    comp = {
+        r["name"]: r["component"]
+        for r in connected_components(edges, small_graph_threshold=0).collect()
+    }
+    assert comp == {f"c{i:02d}": "c00" for i in range(41)}
+
+
 def test_connected_components_gate_respects_threshold(spark):
     """Above the threshold the distributed loop runs (observable as a
     multi-job group); the probe itself never full-counts a big input."""

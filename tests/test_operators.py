@@ -302,6 +302,40 @@ def test_bpe_apply_scales_in_merge_count(spark):
     assert got["lowest"][1] == bpe_apply_local([text], merges)["lowest"][1]
 
 
+def test_ngrams_col_matches_naive_reference(spark):
+    """The zip_with n-gram kernel must emit exactly the naive Python
+    n-grams for every (text, n) — including boundary rows (empty, one
+    word, len == n-1, len == n) and multi-space/punctuation survivors."""
+    from knowledge_graph_builder_spark.operators.dedup import ngrams_col
+
+    texts = [
+        "",
+        "one",
+        "two words",
+        "three little words",
+        "a b c d e f g",
+        "repeat repeat repeat repeat",
+        "x " * 40,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    for n in (1, 2, 3, 5):
+        words_col = F.split(F.trim(F.col("text")), r"\s+")
+        got = {
+            r["i"]: list(r["g"])
+            for r in df.select(
+                "i", ngrams_col(words_col, n).alias("g")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            ws = t.strip().split() if t.strip() else [""]
+            expected = (
+                [" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)]
+                if len(ws) >= n
+                else []
+            )
+            assert got[i] == expected, (t, n, got[i], expected)
+
+
 def test_bpe_train_collect_parity(spark):
     """The collect strategy (one corpus scan -> local incremental merge
     loop) must agree exactly with the distributed loop AND the naive
