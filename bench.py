@@ -329,6 +329,24 @@ def main() -> None:
         lambda: run_pipeline(spark, transcripts, kernel_partitions=kern_parts, persist=False).nodes.count(),
     )
 
+    # headline 2b: the SCALE.md §1 input layout — the same pipeline over a
+    # conv_id-BUCKETED catalog table with assume_clustered=True, which
+    # eliminates the extraction repartition (zero-Exchange kernel; pinned
+    # by test). The bucketed write is the one-time layout cost and is not
+    # timed; the delta vs kg_pipeline is what bucketing buys every run.
+    from knowledge_graph_builder_spark.sources.transcripts import (
+        write_transcripts_bucketed,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS kgb_bench_db LOCATION '/tmp/kgb_bench_wh'")
+    write_transcripts_bucketed(transcripts, "kgb_bench_db.transcripts", buckets=kern_parts)
+    bucketed = spark.table("kgb_bench_db.transcripts")
+    run_pipeline(spark, bucketed, persist=False, assume_clustered=True).triples.count()
+    timed(
+        "kg_pipeline_bucketed",
+        lambda: run_pipeline(spark, bucketed, persist=False, assume_clustered=True).triples.count(),
+    )
+
     # headline 3: canonicalization loop. The golden node set is tiny, so
     # it is measured on a 30k-name alias-rich corpus (triples of
     # base/Inc./Corp variants) — the iterative blocking+CC loop at

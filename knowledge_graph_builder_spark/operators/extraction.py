@@ -221,16 +221,32 @@ def _make_fused_kernel(emit: frozenset):
 
 
 def extract_from_transcripts(
-    transcripts: DataFrame, partitions: int | None = None, emit: frozenset = EMIT_ALL
+    transcripts: DataFrame,
+    partitions: int | None = None,
+    emit: frozenset = EMIT_ALL,
+    assume_clustered: bool = False,
 ) -> DataFrame:
-    """Fused assembly+extraction: transcripts -> kernel rows, one shuffle."""
+    """Fused assembly+extraction: transcripts -> kernel rows, one shuffle.
+
+    ``assume_clustered=True`` drops the pipeline's ONE wide operation:
+    when every conversation's turns are already co-located in a single
+    input partition — a table written with
+    ``write_transcripts_bucketed`` (Spark reads each bucket as exactly
+    one partition) or an Iceberg table bucketed on conv_id — the
+    repartition is pure waste, and the kernel runs SHUFFLE-FREE on the
+    scan partitions (only the per-partition sort remains; pinned by a
+    no-Exchange plan assertion in tests). At the SCALE.md design point
+    that removes the 100 TB shuffle entirely. The caller owns the
+    precondition: turns of one conv_id split across partitions would
+    silently produce duplicate partial documents."""
     # malformed-row contract (shared with assemble_conversations): a NULL
     # conv_id has no document to belong to -> dropped; a NULL turn_idx
     # sorts first deterministically as -1
     t = transcripts.select(
         "conv_id", "text", F.coalesce("turn_idx", F.lit(-1)).alias("turn_idx")
     ).filter(F.col("conv_id").isNotNull())
-    t = t.repartition(partitions, "conv_id") if partitions else t.repartition("conv_id")
+    if not assume_clustered:
+        t = t.repartition(partitions, "conv_id") if partitions else t.repartition("conv_id")
     t = t.sortWithinPartitions("conv_id", "turn_idx")
     t = t.select("conv_id", "text")  # column order contract with the kernel
     return t.mapInArrow(_make_fused_kernel(emit), schema=KERNEL_ROWS)

@@ -171,6 +171,7 @@ def run_pipeline(
     kernel_partitions: int | None = None,
     persist: bool = True,
     precap: bool = False,
+    assume_clustered: bool = False,
 ) -> PipelineResult:
     """Transcripts -> full knowledge graph.
 
@@ -222,7 +223,11 @@ def run_pipeline(
         mem_fp = f"|mem={row['n']}:{row['h']}"
 
     fp = hashlib.md5(
-        (plan_str + f"|fused={fused}|parts={kernel_partitions}" + mem_fp).encode()
+        (
+            plan_str
+            + f"|fused={fused}|parts={kernel_partitions}|clustered={assume_clustered}"
+            + mem_fp
+        ).encode()
     ).hexdigest()[:16]
     ckpt = Checkpointer(checkpoint_dir, run_id, spark, fingerprint=fp)
 
@@ -237,7 +242,12 @@ def run_pipeline(
         kernel_rows = _hold(
             ckpt.stage(
                 "kernel_rows",
-                lambda: extract_from_transcripts(transcripts, kernel_partitions, emit=EMIT_GRAPH),
+                lambda: extract_from_transcripts(
+                    transcripts,
+                    kernel_partitions,
+                    emit=EMIT_GRAPH,
+                    assume_clustered=assume_clustered,
+                ),
             )
         )
         entities = ckpt.stage("entities", lambda: entities_from_kernel(kernel_rows))

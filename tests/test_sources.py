@@ -135,3 +135,44 @@ def test_bucketed_join_eliminates_exchange(spark, tmp_path):
         assert "Exchange" in raw_plan
     finally:
         spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+
+
+def test_bucketed_transcripts_run_kernel_shuffle_free(spark, tmp_path):
+    """SCALE.md §1 input layout, now executable: transcripts landed via
+    write_transcripts_bucketed read back as one-partition-per-bucket with
+    conversations co-located, so extract_from_transcripts(
+    assume_clustered=True) plans ZERO Exchange operators — the pipeline's
+    only wide operation eliminated — while producing the identical triple
+    set to the shuffling path."""
+    from knowledge_graph_builder_spark.operators.extraction import (
+        EMIT_GRAPH,
+        extract_from_transcripts,
+    )
+    from knowledge_graph_builder_spark.sources.synth import golden_transcripts
+    from knowledge_graph_builder_spark.sources.transcripts import (
+        write_transcripts_bucketed,
+    )
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS convdb LOCATION '{tmp_path}/wh'")
+    try:
+        # shuffled input order: co-location must come from the BUCKETED
+        # WRITE, not from the synth source happening to be sorted
+        src = golden_transcripts(spark, shuffled=True).repartition(7)
+        write_transcripts_bucketed(src, "convdb.transcripts", buckets=4)
+        bucketed = spark.table("convdb.transcripts")
+
+        fast = extract_from_transcripts(bucketed, emit=EMIT_GRAPH, assume_clustered=True)
+        plan = fast._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:800]
+
+        def triples(df):
+            return {
+                (r.conv_id, r.text, r.label, r.reason)
+                for r in df.filter(df.kind == "triple").collect()
+            }
+
+        slow = extract_from_transcripts(bucketed, emit=EMIT_GRAPH)
+        assert triples(fast) == triples(slow)
+        assert len(triples(fast)) > 0
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS convdb CASCADE")
