@@ -1496,6 +1496,37 @@ def _q_kg_triples(spark, sf_dir):
     )
 
 
+def _q_kg_triples_bucketed(spark, sf_dir):
+    # the zero-shuffle input layout (SCALE.md §1): the golden corpus is
+    # landed as a conv_id-BUCKETED catalog table (turn order shuffled
+    # first, so co-location provably comes from the bucketed write) and
+    # the kernel runs with assume_clustered=True — no Exchange in the
+    # extraction plan (pinned by test). Output is identical to the
+    # shuffling path by construction, so it shares the kg_triples oracle
+    # (the hand-derived GOLDEN_EXPECTED_TRIPLES literal).
+    from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
+    from knowledge_graph_builder_spark.sources.synth import golden_transcripts
+    from knowledge_graph_builder_spark.sources.transcripts import (
+        write_transcripts_bucketed,
+    )
+
+    spark.sql(
+        "CREATE DATABASE IF NOT EXISTS kgb_oracle_db LOCATION '/tmp/kgb_oracle_wh'"
+    )
+    write_transcripts_bucketed(
+        golden_transcripts(spark, shuffled=True), "kgb_oracle_db.golden_bucketed", buckets=4
+    )
+    res = run_pipeline(
+        spark,
+        spark.table("kgb_oracle_db.golden_bucketed"),
+        persist=False,
+        assume_clustered=True,
+    )
+    return res.triples.select(
+        F.col("document_id"), F.col("source"), F.col("type"), F.col("target")
+    )
+
+
 def _q_kg_precision_recall(spark, sf_dir):
     # the north-rule headline metric (triple P/R >= 0.95 vs the reference
     # semantics) as an explicit driver-recorded number, not just a
@@ -2112,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round 4: new, then operator-changed (canonicalize/CC rewrite,
         #    exact-dup semi-join, bpe_train collect path, DSIR refactor) --
         "streaming_dsir": _q_streaming_dsir,
+        "kg_triples_bucketed": _q_kg_triples_bucketed,
         "canonicalize": _q_canonicalize,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_exact": _q_dedup_exact,
@@ -4240,4 +4272,7 @@ def oracle_sql() -> dict[str, str]:
     # (pinned by test_stream_dsir_matches_batch_and_redelivery), so the
     # streaming query shares the batch oracle verbatim
     out["streaming_dsir"] = out["dsir_weights"]
+    # the bucketed-input pipeline emits the identical triple set (zero-
+    # Exchange plan pinned by test), so it shares the golden literal
+    out["kg_triples_bucketed"] = out["kg_triples"]
     return out
