@@ -1510,9 +1510,15 @@ def _q_kg_triples_bucketed(spark, sf_dir):
         write_transcripts_bucketed,
     )
 
+    import shutil
+
     spark.sql(
         "CREATE DATABASE IF NOT EXISTS kgb_oracle_db LOCATION '/tmp/kgb_oracle_wh'"
     )
+    # in-memory catalog: a location left by a previous process is unknown
+    # to this session and would fail saveAsTable — clear both sides first
+    spark.sql("DROP TABLE IF EXISTS kgb_oracle_db.golden_bucketed")
+    shutil.rmtree("/tmp/kgb_oracle_wh/golden_bucketed", ignore_errors=True)
     write_transcripts_bucketed(
         golden_transcripts(spark, shuffled=True), "kgb_oracle_db.golden_bucketed", buckets=4
     )

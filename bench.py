@@ -293,6 +293,12 @@ def main() -> None:
         best, out = float("inf"), None
         busy, samples = [], []
         for _ in range(reps):
+            # JMH-style hygiene: force a JVM GC so the ContextCleaner
+            # retires the PREVIOUS query's shuffle files/broadcasts before
+            # this rep starts — without it the first canonicalize rep
+            # deterministically measured 8.85 s (cleanup backlog from the
+            # 400k-turn pipeline runs) vs 3.6 s steady state.
+            spark.sparkContext._jvm.System.gc()
             # bounded wait for background load to clear before the rep
             # starts (the r04 canonicalize reps caught a 1.7-busy-core
             # window and read 2x over steady state; a 20 s bounded wait
@@ -338,7 +344,14 @@ def main() -> None:
         write_transcripts_bucketed,
     )
 
+    import shutil
+
     spark.sql("CREATE DATABASE IF NOT EXISTS kgb_bench_db LOCATION '/tmp/kgb_bench_wh'")
+    # the catalog is in-memory per session: a table directory left by a
+    # previous bench process is unknown to this session and would fail
+    # saveAsTable with LOCATION_ALREADY_EXISTS — clear both sides first
+    spark.sql("DROP TABLE IF EXISTS kgb_bench_db.transcripts")
+    shutil.rmtree("/tmp/kgb_bench_wh/transcripts", ignore_errors=True)
     write_transcripts_bucketed(transcripts, "kgb_bench_db.transcripts", buckets=kern_parts)
     bucketed = spark.table("kgb_bench_db.transcripts")
     run_pipeline(spark, bucketed, persist=False, assume_clustered=True).triples.count()
