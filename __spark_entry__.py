@@ -1533,6 +1533,63 @@ def _q_kg_triples_bucketed(spark, sf_dir):
     )
 
 
+def _q_canonicalize_incr(spark, sf_dir):
+    # incremental canonicalization (operators/canonicalize.py:
+    # canonicalize_incremental): an existing mapping is folded with a new
+    # batch; only affected components re-resolve. The batch contains a
+    # name ("Globex") that RE-CANONICALIZES an existing self-canonical
+    # name ("Globex Corp" -> "Globex"), an alias for an existing name,
+    # and a fresh singleton — the hand-derived literal is the oracle.
+    from knowledge_graph_builder_spark.operators.canonicalize import (
+        canonicalize_incremental,
+        canonicalize_nodes,
+    )
+
+    batch1 = spark.createDataFrame(
+        [("Acme",), ("Globex Corp",), ("Solo Name",)], "name string"
+    )
+    existing = canonicalize_nodes(batch1).select("name", "canonical_id")
+    batch2 = spark.createDataFrame(
+        [("Acme Inc.",), ("Globex",), ("Fresh Unique",)], "name string"
+    )
+    return canonicalize_incremental(existing, batch2).select("name", "canonical_id")
+
+
+def _q_kg_incremental(spark, sf_dir):
+    # incremental KG maintenance (plans/incremental.py): v1 = the golden
+    # corpus minus two conversations, fully built into a manifest-mode
+    # GraphStore; incremental_update diffs v1 against the full corpus,
+    # re-extracts ONLY the two added conversations, and MERGEs them in.
+    # The store's non-INVOLVES edges must then equal the full corpus's
+    # triple set — the same golden literal kg_triples pins.
+    import tempfile
+
+    from knowledge_graph_builder_spark.plans.incremental import incremental_update
+    from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
+    from knowledge_graph_builder_spark.sources.graph_store import GraphStore
+    from knowledge_graph_builder_spark.sources.synth import golden_transcripts
+
+    v2 = golden_transcripts(spark)
+    convs = sorted(r[0] for r in v2.select("conv_id").distinct().collect())
+    v1 = v2.filter(~F.col("conv_id").isin(convs[0], convs[-1]))
+    store = GraphStore(
+        spark, tempfile.mkdtemp(prefix="kgb_incr_"), n_buckets=8, commit_mode="manifest"
+    )
+    res1 = run_pipeline(spark, v1, persist=False)
+    store.upsert_nodes(res1.nodes)
+    store.upsert_edges(res1.edges)
+    incremental_update(spark, store, v1, v2)
+    # the store MERGEs edges on (src, type, dst) ACROSS documents (D4 —
+    # reference graph_db.py MERGE semantics), so the projection is the
+    # doc-agnostic distinct triple key; the oracle is the golden literal
+    # projected the same way
+    return (
+        store.edges()
+        .filter(F.col("type") != "INVOLVES")
+        .select(F.col("src").alias("source"), F.col("type"), F.col("dst").alias("target"))
+    )
+
+
 def _q_kg_precision_recall(spark, sf_dir):
     # the north-rule headline metric (triple P/R >= 0.95 vs the reference
     # semantics) as an explicit driver-recorded number, not just a
@@ -2150,6 +2207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    exact-dup semi-join, bpe_train collect path, DSIR refactor) --
         "streaming_dsir": _q_streaming_dsir,
         "kg_triples_bucketed": _q_kg_triples_bucketed,
+        "canonicalize_incr": _q_canonicalize_incr,
+        "kg_incremental": _q_kg_incremental,
         "canonicalize": _q_canonicalize,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_exact": _q_dedup_exact,
@@ -4281,4 +4340,21 @@ def oracle_sql() -> dict[str, str]:
     # the bucketed-input pipeline emits the identical triple set (zero-
     # Exchange plan pinned by test), so it shares the golden literal
     out["kg_triples_bucketed"] = out["kg_triples"]
+    # incremental maintenance converges the store to the full corpus's
+    # triple set; the store MERGEs on (src, type, dst) across documents,
+    # so both sides project the doc-agnostic distinct key
+    out["kg_incremental"] = (
+        "SELECT DISTINCT source, type, target FROM (" + out["kg_triples"] + ") t"
+    )
+    # incremental canonicalization: hand-derived final mapping ("Globex"
+    # arriving re-canonicalizes the previously self-canonical "Globex
+    # Corp"; "Acme Inc." aliases onto "Acme"; singletons stay themselves)
+    out["canonicalize_incr"] = """
+        SELECT * FROM (VALUES
+          ('Acme', 'Acme'), ('Acme Inc.', 'Acme'),
+          ('Fresh Unique', 'Fresh Unique'),
+          ('Globex', 'Globex'), ('Globex Corp', 'Globex'),
+          ('Solo Name', 'Solo Name')
+        ) AS t(name, canonical_id)
+    """
     return out
