@@ -208,3 +208,45 @@ def test_canonicalize_incremental_equals_full(spark):
     # empty batch passes the mapping through
     empty = spark.createDataFrame([], "name string")
     assert mapping(canonicalize_incremental(existing, empty)) == m1
+
+
+def test_canonicalize_incremental_random_property(spark):
+    """Seeded-random property pin: for names drawn from a small token
+    vocabulary (lots of shared-token merges, occasional multi-hop
+    bridges), incremental(batch1-mapping, batch2) must equal the full
+    recompute over batch1 ∪ batch2. max_block is left high so the
+    documented monotonicity caveat (blocks crossing the cap only via the
+    new batch) cannot engage."""
+    import random
+
+    from knowledge_graph_builder_spark.operators.canonicalize import (
+        canonicalize_incremental,
+        canonicalize_nodes,
+    )
+
+    vocab = ["alpha", "beta", "gamma", "delta", "omega", "kappa"]
+    rng = random.Random(11)
+
+    def rand_names(n):
+        out = set()
+        while len(out) < n:
+            k = rng.randint(1, 3)
+            out.add(" ".join(rng.sample(vocab, k)).title())
+        return sorted(out)
+
+    names1, names2 = rand_names(14), rand_names(10)
+    b1 = spark.createDataFrame([(n,) for n in names1], "name string")
+    b2 = spark.createDataFrame([(n,) for n in names2], "name string")
+
+    def mapping(df):
+        return {r.name: r.canonical_id for r in df.collect()}
+
+    existing = spark.createDataFrame(
+        list(mapping(canonicalize_nodes(b1, max_block=500).select("name", "canonical_id")).items()),
+        "name string, canonical_id string",
+    )
+    inc = mapping(canonicalize_incremental(existing, b2, max_block=500))
+    full = mapping(
+        canonicalize_nodes(b1.unionByName(b2), max_block=500).select("name", "canonical_id")
+    )
+    assert inc == full
