@@ -165,6 +165,15 @@ def main(sf_dir: str) -> int:
           p20.count("BroadcastHashJoin") >= 2, p20[:400])
     check("q20 has no cartesian product", "CartesianProduct" not in p20)
 
+    # round-4 additions
+    pkb = plan_of(entry.queries()["kg_triples_bucketed"](spark, sf_dir))
+    check("bucketed pipeline plans ZERO exchanges (clustered scan -> kernel)",
+          "Exchange" not in pkb, pkb[:600])
+    check("bucketed pipeline kernel is Arrow-evaluated", "MapInArrow" in pkb, pkb[:400])
+    pci = plan_of(entry.queries()["canonicalize_incr"](spark, sf_dir))
+    check("incremental canonicalize has no cartesian product",
+          "CartesianProduct" not in pci, pci[:400])
+
     spark.stop()
     print(f"\n{len(failures)} failures")
     return 1 if failures else 0
