@@ -1533,6 +1533,18 @@ def _q_kg_triples_bucketed(spark, sf_dir):
     )
 
 
+def _q_cdc_chunks(spark, sf_dir):
+    # content-defined chunking (FastCDC/LBFS-style rolling-hash
+    # boundaries): insertion-stable chunks for chunk-level dedup. The
+    # boundary rule is md5-derived, so the oracle replays it exactly.
+    from knowledge_graph_builder_spark.operators.packing import cdc_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    return cdc_chunks(d).select(
+        "doc_id", "chunk_idx", "chunk_start", "chunk_text", "chunk_hash"
+    )
+
+
 def _q_canonicalize_incr(spark, sf_dir):
     # incremental canonicalization (operators/canonicalize.py:
     # canonicalize_incremental): an existing mapping is folded with a new
@@ -2209,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_bucketed": _q_kg_triples_bucketed,
         "canonicalize_incr": _q_canonicalize_incr,
         "kg_incremental": _q_kg_incremental,
+        "cdc_chunks": _q_cdc_chunks,
         "canonicalize": _q_canonicalize,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_exact": _q_dedup_exact,
@@ -4346,6 +4359,40 @@ def oracle_sql() -> dict[str, str]:
     out["kg_incremental"] = (
         "SELECT DISTINCT source, type, target FROM (" + out["kg_triples"] + ") t"
     )
+    # content-defined chunking: replay the rolling md5 boundary rule
+    # (boundary at 1-indexed end position i when the md5-bucket of the
+    # trailing 16-char window is 0 mod 64), rebuild chunk spans with a
+    # lag window plus the per-doc final chunk, drop the trailing empty
+    # pseudo-chunk (s > e)
+    out["cdc_chunks"] = """
+        WITH d AS (
+          SELECT doc_id, text FROM documents
+          WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        b AS (
+          SELECT doc_id, i::INT AS i
+          FROM d, LATERAL unnest(generate_series(16, length(text))) t(i)
+          WHERE ('0x' || substring(md5(substring(text, i::INT - 15, 16)), 1, 8))::UBIGINT % 64 = 0
+        ),
+        se AS (
+          SELECT doc_id,
+                 (coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1)::INT AS s,
+                 i AS e
+          FROM b
+          UNION ALL
+          SELECT d.doc_id, (coalesce(mx.m, 0) + 1)::INT AS s, length(d.text)::INT AS e
+          FROM d LEFT JOIN (SELECT doc_id, max(i) AS m FROM b GROUP BY 1) mx USING (doc_id)
+        ),
+        c AS (
+          SELECT doc_id, s, e,
+                 (row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1)::INT AS chunk_idx
+          FROM se WHERE e >= s
+        )
+        SELECT c.doc_id, chunk_idx, (s - 1)::INT AS chunk_start,
+               substring(d.text, s, e - s + 1) AS chunk_text,
+               md5(substring(d.text, s, e - s + 1)) AS chunk_hash
+        FROM c JOIN d USING (doc_id)
+    """
     # incremental canonicalization: hand-derived final mapping ("Globex"
     # arriving re-canonicalizes the previously self-canonical "Globex
     # Corp"; "Acme Inc." aliases onto "Acme"; singletons stay themselves)

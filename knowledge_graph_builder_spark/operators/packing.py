@@ -139,3 +139,60 @@ def chunk_documents(
         "chunk_start",
         F.col("_text").substr(F.col("chunk_start") + 1, F.lit(chunk_chars)).alias("chunk_text"),
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (FastCDC/LBFS-style): chunk boundaries
+    fall where a rolling content hash of the trailing ``window`` chars
+    hits 0 mod ``divisor`` — so an insertion or deletion only reshapes
+    the chunks AROUND the edit instead of shifting every downstream
+    fixed-width chunk (the property that makes chunk-level dedup work
+    across near-identical documents; expected chunk length ≈ divisor).
+
+    Emits (id, chunk_idx, chunk_start, chunk_text, chunk_hash). Map-only
+    and fully JVM-side: boundary candidates come from a per-row
+    ``filter`` over position indices (each probes one fixed-``window``
+    substring — O(len·window) per row, no per-row Python), and chunks
+    are ``zip_with`` slices between consecutive boundaries. The hash is
+    md5-derived (engine-portable, so the DuckDB oracle replays the exact
+    boundary rule). Documents shorter than ``window`` are one chunk.
+
+    Production knobs deliberately NOT implemented here: min/max chunk
+    clamps (FastCDC's normalization) make the boundary rule stateful in
+    the scan position; at that point the kernel moves to ``mapInArrow``.
+    """
+    t = F.col(text_col)
+    length = F.length(t)
+    empty_b = F.array().cast("array<int>")
+    probe = lambda i: (
+        F.conv(F.substring(F.md5(t.substr(i - window + 1, F.lit(window))), 1, 8), 16, 10)
+        .cast("long") % divisor == 0
+    )
+    bounds = F.when(length < window, empty_b).otherwise(
+        F.filter(F.sequence(F.lit(window), length), probe).cast("array<int>")
+    )
+    one = F.lit(1).cast("int")
+    starts = F.concat(F.array(one), F.transform(bounds, lambda b: b + one))
+    ends = F.concat(bounds, F.array(length.cast("int")))
+    chunks = F.zip_with(starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e")))
+    exploded = (
+        docs.filter(t.isNotNull() & (length > 0))
+        .select(F.col(id_col), t.alias("_text"), F.posexplode(chunks).alias("chunk_idx", "c"))
+        # a boundary exactly at the end of the text yields a trailing
+        # empty (s > e) pseudo-chunk — drop it
+        .filter(F.col("c.e") >= F.col("c.s"))
+    )
+    chunk_text = F.col("_text").substr(F.col("c.s"), F.col("c.e") - F.col("c.s") + one)
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        (F.col("c.s") - 1).alias("chunk_start"),
+        chunk_text.alias("chunk_text"),
+        F.md5(chunk_text).alias("chunk_hash"),
+    )

@@ -302,6 +302,75 @@ def test_bpe_apply_scales_in_merge_count(spark):
     assert got["lowest"][1] == bpe_apply_local([text], merges)["lowest"][1]
 
 
+def _cdc_local(text, window=16, divisor=64):
+    """Pure-Python twin of packing.cdc_chunks (independent code path)."""
+    import hashlib
+
+    bounds = [
+        i
+        for i in range(window, len(text) + 1)
+        if int(hashlib.md5(text[i - window : i].encode()).hexdigest()[:8], 16) % divisor == 0
+    ]
+    starts = [1] + [b + 1 for b in bounds]
+    ends = bounds + [len(text)]
+    out = []
+    idx = 0
+    for s, e in zip(starts, ends):
+        if e >= s:
+            out.append((idx, s - 1, text[s - 1 : e]))
+            idx += 1
+    return out
+
+
+def test_cdc_chunks_matches_reference_twin(spark):
+    from knowledge_graph_builder_spark.operators.packing import cdc_chunks
+
+    import random
+
+    rng = random.Random(3)
+    texts = [
+        "".join(rng.choice("abcdefgh ") for _ in range(n)) for n in (0, 5, 16, 200, 1000)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {}
+    for r in cdc_chunks(docs).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_start, r.chunk_text))
+    for i, t in enumerate(texts):
+        expected = _cdc_local(t)
+        if not t:
+            assert i not in got
+        else:
+            assert sorted(got[i]) == expected, (i, len(t))
+            # chunks reassemble the document exactly
+            assert "".join(c for _, _, c in sorted(got[i])) == t
+
+
+def test_cdc_chunks_insertion_stability(spark):
+    """The CDC property fixed-width chunking lacks: inserting a span in
+    the middle of a document disturbs only the chunk(s) around the edit;
+    every other chunk hash survives, so chunk-level dedup still links
+    the two versions."""
+    from knowledge_graph_builder_spark.operators.packing import cdc_chunks
+
+    import random
+
+    rng = random.Random(9)
+    base = "".join(rng.choice("abcdefgh ") for _ in range(2000))
+    edited = base[:1000] + "XXINSERTXX" + base[1000:]
+    docs = spark.createDataFrame([(1, base), (2, edited)], "doc_id int, text string")
+    by_doc = {1: set(), 2: set()}
+    n_chunks = {1: 0, 2: 0}
+    for r in cdc_chunks(docs).collect():
+        by_doc[r.doc_id].add(r.chunk_hash)
+        n_chunks[r.doc_id] += 1
+    shared = by_doc[1] & by_doc[2]
+    assert n_chunks[1] >= 10  # the corpus genuinely chunks
+    # at most ~2 chunks around the edit may differ
+    assert len(shared) >= n_chunks[1] - 2, (n_chunks, len(shared))
+
+
 def test_ngrams_col_matches_naive_reference(spark):
     """The zip_with n-gram kernel must emit exactly the naive Python
     n-grams for every (text, n) — including boundary rows (empty, one
