@@ -263,6 +263,7 @@ def _run_scaling(transcripts_path: str, n_turns: int) -> dict:
 
     levels = (2, 8)
     samples: dict[int, list[float]] = {c: [] for c in levels}
+    sub_bests: dict[int, list[float]] = {c: [] for c in levels}
     busy_at: dict[int, list[float]] = {c: [] for c in levels}
     calib_at: dict[int, list[float]] = {c: [] for c in levels}
     n_triples = 0
@@ -271,6 +272,7 @@ def _run_scaling(transcripts_path: str, n_turns: int) -> dict:
         nonlocal n_triples
         out = sub_run(cpus, 4 if cpus == 8 else 2)
         samples[cpus].extend(out["samples_sec"])
+        sub_bests[cpus].append(min(out["samples_sec"]))
         busy_at[cpus].append(out["host_busy_cores_at_start"])
         calib_at[cpus].append(
             (out.get("cpu_calibration_sec", -1.0), out.get("cpu_calibration_parallel_sec", -1.0))
@@ -304,6 +306,19 @@ def _run_scaling(transcripts_path: str, n_turns: int) -> dict:
         cooldowns += 1
 
     thr = {c: round(n_turns / min(samples[c]), 1) for c in levels}
+    # drift-robust secondary estimator: efficiency per (2,8) sub-run
+    # pair, pairing by arrival order — a pair measured inside the same
+    # host window cancels common-mode slowdown (the differential 8-core
+    # hit remains visible, which is the honest part)
+    pairwise = [
+        round((n_turns / b8) / (n_turns / b2) / 4.0, 3)
+        for b2, b8 in zip(sub_bests[2], sub_bests[8])
+    ]
+    # self-describing record: flag when the ABSOLUTE walls sit far off
+    # this box's documented healthy reference (BASELINE.md: 8-core best
+    # 19.8-24.3 s, 2-core 77.8-89 s at this input) — the
+    # hypervisor-degradation signature that busy-core readings miss
+    degraded = min(samples[8]) > 28.0 or min(samples[2]) > 95.0
     return {
         "cpus_n": 2,
         "cpus_4n": 8,
@@ -313,8 +328,12 @@ def _run_scaling(transcripts_path: str, n_turns: int) -> dict:
         "wall_4n_sec": min(samples[8]),
         "samples_n_sec": samples[2],
         "samples_4n_sec": samples[8],
+        "sub_run_bests_sec": {"n": sub_bests[2], "4n": sub_bests[8]},
+        "pairwise_efficiencies": pairwise,
         "host_busy_cores_at_start": {"n": busy_at[2], "4n": busy_at[8]},
         "cpu_calibration_sec": {"n": calib_at[2], "4n": calib_at[8]},
+        "host_degraded_vs_reference": degraded,
+        "healthy_reference_sec": {"4n": [19.8, 24.3], "n": [77.8, 89.0]},
         "pinned_cores": bool(pin),
         "n_triples": n_triples,
         "scaling_efficiency": round(efficiency(), 3),
