@@ -247,6 +247,18 @@ def extract_from_transcripts(
     ).filter(F.col("conv_id").isNotNull())
     if not assume_clustered:
         t = t.repartition(partitions, "conv_id") if partitions else t.repartition("conv_id")
+    else:
+        # assume_clustered consumes bucket co-location as a DATA-LAYOUT
+        # precondition the planner cannot see, so Spark 4's
+        # DisableUnnecessaryBucketedScan would happily demote the bucketed
+        # scan to size-based file splits (no operator "requires" the
+        # distribution) — correct plans on tiny files, silent duplicate
+        # partial documents once files are big enough to split. Pin the
+        # optimization off at the session feeding this read; get_spark
+        # also sets it, this covers sessions built elsewhere.
+        transcripts.sparkSession.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
     t = t.sortWithinPartitions("conv_id", "turn_idx")
     t = t.select("conv_id", "text")  # column order contract with the kernel
     return t.mapInArrow(_make_fused_kernel(emit), schema=KERNEL_ROWS)

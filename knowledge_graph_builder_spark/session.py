@@ -31,6 +31,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # The zero-shuffle pipeline (extract_from_transcripts
+        # assume_clustered=True) depends on Spark honoring the bucketed
+        # layout of the transcripts table. Spark 4.x's
+        # DisableUnnecessaryBucketedScan rule demotes a bucketed scan when
+        # no downstream operator *requires* the distribution — which is
+        # exactly our case, because the kernel consumes co-location as a
+        # data-layout precondition invisible to the planner. A demoted scan
+        # re-splits files by size and silently breaks conversation
+        # co-location at production file sizes, so the optimization must
+        # stay off for every session that reads bucketed transcripts.
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")

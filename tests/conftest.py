@@ -12,6 +12,9 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # mirror session.get_spark: bucketed scans must not be demoted
+        # (assume_clustered correctness depends on one-partition-per-bucket)
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -164,6 +164,20 @@ def test_bucketed_transcripts_run_kernel_shuffle_free(spark, tmp_path):
         fast = extract_from_transcripts(bucketed, emit=EMIT_GRAPH, assume_clustered=True)
         plan = fast._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan[:800]
+        # no-Exchange alone cannot see a DEMOTED bucketed scan (Spark 4's
+        # DisableUnnecessaryBucketedScan re-splits files by size when no
+        # operator requires the distribution — at production file sizes
+        # that breaks conversation co-location silently). Assert the scan
+        # is ACTUALLY bucketed and reads one partition per bucket; the
+        # session factory pins autoBucketedScan.enabled=false to make it so.
+        fmt = fast._jdf.queryExecution().explainString(
+            fast.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Bucketed: true" in fmt, fmt[:1200]
+        assert "disabled by query planner" not in fmt, fmt[:1200]
+        assert fast.rdd.getNumPartitions() == 4
 
         def triples(df):
             return {

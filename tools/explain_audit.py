@@ -23,6 +23,16 @@ def plan_of(df, execute: bool = False) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def fmt_plan_of(df) -> str:
+    """explain("formatted") as a string — the only rendering that shows
+    the bucketed-scan decision ('Bucketed: true' vs 'Bucketed: false
+    (disabled by query planner)'), which the operator-tree string hides."""
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
 def main(sf_dir: str) -> int:
     import __spark_entry__ as entry
     from knowledge_graph_builder_spark.session import get_spark
@@ -166,10 +176,23 @@ def main(sf_dir: str) -> int:
     check("q20 has no cartesian product", "CartesianProduct" not in p20)
 
     # round-4 additions
-    pkb = plan_of(entry.queries()["kg_triples_bucketed"](spark, sf_dir))
+    qkb = entry.queries()["kg_triples_bucketed"](spark, sf_dir)
+    pkb = plan_of(qkb)
     check("bucketed pipeline plans ZERO exchanges (clustered scan -> kernel)",
           "Exchange" not in pkb, pkb[:600])
     check("bucketed pipeline kernel is Arrow-evaluated", "MapInArrow" in pkb, pkb[:400])
+    # zero-Exchange is necessary but not sufficient: Spark 4's
+    # DisableUnnecessaryBucketedScan can DEMOTE the scan to size-based file
+    # splits (breaking conversation co-location at production file sizes)
+    # without adding an Exchange. Assert the scan is actually bucketed and
+    # reads exactly one partition per bucket (the table is written with 4).
+    fkb = fmt_plan_of(qkb)
+    check("bucketed pipeline scan is ACTUALLY bucketed (not planner-demoted)",
+          "Bucketed: true" in fkb and "disabled by query planner" not in fkb,
+          fkb[:800])
+    check("bucketed pipeline reads one partition per bucket",
+          qkb.rdd.getNumPartitions() == 4,
+          f"partitions={qkb.rdd.getNumPartitions()}")
     pci = plan_of(entry.queries()["canonicalize_incr"](spark, sf_dir))
     check("incremental canonicalize has no cartesian product",
           "CartesianProduct" not in pci, pci[:400])
