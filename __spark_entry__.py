@@ -1545,6 +1545,37 @@ def _q_cdc_chunks(spark, sf_dir):
     )
 
 
+def _q_cdc_fast(spark, sf_dir):
+    # FastCDC-style rolling-hash chunking (packing.cdc_chunks_fast): the
+    # O(len)-per-document production path behind cdc_chunks (which stays
+    # as the SQL-replayable twin). Runs over a repo-internal
+    # deterministic md5-chained corpus so the oracle is immune to
+    # testdata regeneration; the windowed-Gear boundary rule is not
+    # SQL-expressible, so the pin is a literal-VALUES oracle — itself
+    # pinned to an independent per-position pure-Python twin plus
+    # reassembly/clamp/insertion-stability properties by
+    # tests/test_cdc_fast.py.
+    import hashlib
+
+    from knowledge_graph_builder_spark.operators.packing import cdc_chunks_fast
+
+    def chain(seed: str, n: int) -> str:
+        out: list[str] = []
+        total = 0
+        h = seed.encode()
+        while total < n:
+            h = hashlib.md5(h).digest()
+            out.append(h.hex())
+            total += 32
+        return "".join(out)[:n]
+
+    docs = spark.createDataFrame(
+        [(i, chain(f"cdc{i}", n)) for i, n in [(1, 700), (2, 832), (3, 50), (4, 1200)]],
+        "doc_id bigint, text string",
+    )
+    return cdc_chunks_fast(docs).select("doc_id", "chunk_idx", "chunk_start", "chunk_hash")
+
+
 def _q_canonicalize_incr(spark, sf_dir):
     # incremental canonicalization (operators/canonicalize.py:
     # canonicalize_incremental): an existing mapping is folded with a new
@@ -2215,6 +2246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     else in its prior order. Every query keeps its oracle regardless of
     position; tools/check_oracle.py sweeps all of them."""
     return {
+        # -- round 5: new --
+        "cdc_fast_chunks": _q_cdc_fast,
         # -- round 4: new, then operator-changed (canonicalize/CC rewrite,
         #    exact-dup semi-join, bpe_train collect path, DSIR refactor) --
         "streaming_dsir": _q_streaming_dsir,
@@ -3033,6 +3066,51 @@ def oracle_sql() -> dict[str, str]:
               ('lsh_b16x4', 2, 2, 0.2), ('lsh_b16x8', 2, 10, 1.0), ('ivf_probe2of8', 2, 7, 0.7),
               ('lsh_b16x4', 3, 6, 0.6), ('lsh_b16x8', 3, 10, 1.0), ('ivf_probe2of8', 3, 9, 0.9)
             ) AS t(method, query_id, n_hits, recall_at_10)
+        """,
+        # pinned: FastCDC rolling-hash chunking over the deterministic
+        # md5-chained corpus — the Gear boundary rule is not SQL-
+        # expressible; the literal is generated from the pure-Python twin
+        # that tests/test_cdc_fast.py pins the kernel against
+        "cdc_fast_chunks": """
+            SELECT doc_id::BIGINT AS doc_id, chunk_idx::INT AS chunk_idx,
+                   chunk_start::INT AS chunk_start, chunk_hash
+            FROM (VALUES
+              (1, 0, 0, '6a2a7d340a4019d247cf58f625c6f575'),
+              (1, 1, 16, '2aa255c1054625545ace4aa580f39044'),
+              (1, 2, 191, '3b6721122b0b08806b8cf1d42d9fa608'),
+              (1, 3, 296, '61ea4bef630acfdc46e0d25bd14fd577'),
+              (1, 4, 353, '475953924231836d8966ed1adee5059a'),
+              (1, 5, 551, 'd69e5bd24355c928d35d031088a480c8'),
+              (2, 0, 0, 'aeb4ca8e8bf48000b4683efc4882e4ac'),
+              (2, 1, 35, '0a02b861dbc70d7315bbb3bf73361497'),
+              (2, 2, 63, '748b1ddfdc1c702ae9f20364fb36ada7'),
+              (2, 3, 117, 'a7f5c42da99a173aefdd80c1c47c2245'),
+              (2, 4, 141, '6896df5735c144fef047c1a4c1f66e01'),
+              (2, 5, 187, '24b574e08e65220a21b9b9cae8884bb3'),
+              (2, 6, 227, '89b9aa0065f613fb4e3e261f940119f1'),
+              (2, 7, 283, '05642b449b74a187f7ef629c022bb51f'),
+              (2, 8, 316, '65766c7b76e3b70d9c6252b8a5327721'),
+              (2, 9, 334, '95bf75b425e71ed512b1603e3713725d'),
+              (2, 10, 392, '10c9954d48d0e3b67ea86be41acf5de5'),
+              (2, 11, 488, '3086a418e350b476e8b4daa6521deef9'),
+              (2, 12, 507, '25d3ac0026ae7d4b380c2c3ec3fe4867'),
+              (2, 13, 570, '2cde5722ca3570881ac050a43137cd38'),
+              (2, 14, 602, 'e3857153c6c6f13a23151136e971d36c'),
+              (3, 0, 0, '056079c0c3ade78f95626d91a838a164'),
+              (4, 0, 0, '224fd52be12a2303260f0680e20e3fdf'),
+              (4, 1, 19, '85a0d215a10a7af565eeed59a68d9745'),
+              (4, 2, 203, 'a01e24c7efca321464c9e93709988b57'),
+              (4, 3, 307, '0a305d216ccd1add49294a638e940f86'),
+              (4, 4, 563, 'adee68b41efc1c2fe6691ffd05e78bc8'),
+              (4, 5, 581, '4de213dc241cd59c51406bf1511dd763'),
+              (4, 6, 605, '691edf4222e4dd26aefcb209ebe9ed90'),
+              (4, 7, 659, '3b03a5d6caebaaf3341fe8c536831354'),
+              (4, 8, 738, 'c29d5ebd4c34c077e072b6f52c054a53'),
+              (4, 9, 790, '4fd6ba101230295d66ca901a3623477b'),
+              (4, 10, 807, '1e11646f4cba45e45a8752d44e2e2d1c'),
+              (4, 11, 907, 'edfd817cb78b87970d7d97fd704790ba'),
+              (4, 12, 1132, '6f5e2364a96840e0b0bf97b0b4e83c63')
+            ) AS t(doc_id, chunk_idx, chunk_start, chunk_hash)
         """,
         "simhash_bands": """
             SELECT a::BIGINT AS a, b::BIGINT AS b FROM (VALUES

@@ -165,7 +165,11 @@ def cdc_chunks(
 
     Production knobs deliberately NOT implemented here: min/max chunk
     clamps (FastCDC's normalization) make the boundary rule stateful in
-    the scan position; at that point the kernel moves to ``mapInArrow``.
+    the scan position; at that point the kernel moves to ``mapInArrow`` —
+    which is exactly what ``cdc_chunks_fast`` below does. THIS version is
+    the oracle-portable twin (DuckDB replays the md5 rule exactly); its
+    probe is O(len·window) hash work with a len-sized index array per
+    row, so the 100 TB path is ``cdc_chunks_fast``.
     """
     t = F.col(text_col)
     length = F.length(t)
@@ -196,3 +200,211 @@ def cdc_chunks(
         chunk_text.alias("chunk_text"),
         F.md5(chunk_text).alias("chunk_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FastCDC-style rolling-hash chunking — the 100 TB path (O(len) per doc,
+# O(1) per-position state, min/max clamps). `cdc_chunks` above stays as
+# the SQL-oracle-portable twin; this kernel is pinned by a pure-Python
+# reference twin + property tests (reassembly, clamps, insertion
+# stability, a 2M-char document).
+# ---------------------------------------------------------------------------
+
+_GEAR_CACHE: dict = {}
+
+
+def _gear_table():
+    """256-entry Gear table (FastCDC, Xia et al. FAST'16): one 64-bit
+    pseudo-random word per byte value, derived from md5 so the table is
+    deterministic across processes/versions — no RNG, no pickled state."""
+    import hashlib
+
+    import numpy as np
+
+    t = _GEAR_CACHE.get("gear")
+    if t is None:
+        t = np.array(
+            [int(hashlib.md5(bytes([b])).hexdigest()[:16], 16) for b in range(256)],
+            dtype=np.uint64,
+        )
+        _GEAR_CACHE["gear"] = t
+    return t
+
+
+def _mix64(x):
+    """murmur3-style finalizer over a uint64 numpy array (wraps mod 2^64).
+    The windowed Gear sum leaves low bits dominated by the most recent
+    characters; mixing spreads every window position into the modulus."""
+    import numpy as np
+
+    x = x ^ (x >> np.uint64(33))
+    x = x * np.uint64(0xFF51AFD7ED558CCD)
+    return x ^ (x >> np.uint64(33))
+
+
+def _cdc_cut_points(cps, window: int, divisor: int, min_len: int, max_len: int) -> list[int]:
+    """Cut positions (1-indexed chunk END offsets, final chunk implicit)
+    for a uint32 codepoint array.
+
+    The windowed Gear hash H(i) = sum_{k<window} G[cp(i-k)] << k (mod
+    2^64) is computed for EVERY position with `window` vectorized
+    shift-adds — O(len·window/simd) numpy work, O(1) Python objects, no
+    len-sized per-row SQL array. A position is a boundary CANDIDATE when
+    mix64(H) % divisor == 0 (expected spacing = divisor chars); the
+    FastCDC min/max clamp walk then picks, per chunk, the first candidate
+    >= start+min_len, forcing a cut at start+max_len when no candidate
+    lands in the window. The walk is O(n_chunks·log n_candidates)."""
+    import numpy as np
+
+    n = int(cps.shape[0])
+    g = _gear_table()[cps & np.uint32(0xFF)]
+    h = g.copy()
+    for k in range(1, min(window, 64)):
+        h[k:] += g[:-k] << np.uint64(k)
+    cand = np.nonzero(_mix64(h) % np.uint64(divisor) == 0)[0] + 1
+    cuts: list[int] = []
+    pos = 0
+    while n - pos > max_len:
+        j = int(np.searchsorted(cand, pos + min_len))
+        if j < cand.shape[0] and int(cand[j]) <= pos + max_len:
+            pos = int(cand[j])
+        else:
+            pos = pos + max_len
+        cuts.append(pos)
+    return cuts
+
+
+def _cdc_fast_kernel(window: int, divisor: int, min_len: int, max_len: int, id_type):
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_id, out_idx, out_start, out_text, out_hash = [], [], [], [], []
+            for did, text in zip(ids, texts):
+                if not text:
+                    continue
+                cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+                cuts = _cdc_cut_points(cps, window, divisor, min_len, max_len)
+                starts = [0] + cuts
+                ends = cuts + [len(text)]
+                for ci, (s, e) in enumerate(zip(starts, ends)):
+                    ct = text[s:e]
+                    out_id.append(did)
+                    out_idx.append(ci)
+                    out_start.append(s)
+                    out_text.append(ct)
+                    out_hash.append(hashlib.md5(ct.encode("utf-8")).hexdigest())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, id_type),
+                    pa.array(out_idx, pa.int32()),
+                    pa.array(out_start, pa.int32()),
+                    pa.array(out_text, pa.string()),
+                    pa.array(out_hash, pa.string()),
+                ],
+                names=["doc_id", "chunk_idx", "chunk_start", "chunk_text", "chunk_hash"],
+            )
+
+    return kernel
+
+
+def cdc_chunks_fast(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    target_len: int = 64,
+    min_len: int | None = None,
+    max_len: int | None = None,
+) -> DataFrame:
+    """Content-defined chunking, production shape: a ``mapInArrow``
+    kernel computing windowed-Gear rolling-hash boundaries in O(len) per
+    document with FastCDC min/max clamps (defaults target/4 and
+    target·4). Same output schema as ``cdc_chunks``; the boundary RULE
+    differs (Gear vs md5-window), which is the point — the md5 twin
+    exists to be SQL-replayable, this kernel exists to chunk a 2M-char
+    document without a 2M-element array or 2M md5 calls per row.
+
+    Map-only (no shuffle): chunk fan-out amplifies only the document's
+    own partition. Boundary candidates depend on exactly ``window``
+    trailing characters, so an edit reshapes chunks only until the next
+    shared candidate — the insertion-stability property chunk-level
+    dedup needs (pinned by test)."""
+    if min_len is None:
+        min_len = max(target_len // 4, 1)
+    if max_len is None:
+        max_len = target_len * 4
+    if not (0 < min_len <= target_len <= max_len):
+        raise ValueError("need 0 < min_len <= target_len <= max_len")
+    import pyarrow as pa
+
+    spark_type = docs.schema[id_col].dataType.simpleString()
+    arrow_id_type = {
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "string": pa.string(),
+    }.get(spark_type)
+    if arrow_id_type is None:
+        raise ValueError(f"unsupported id column type {spark_type!r}")
+    return docs.select(F.col(id_col), F.col(text_col)).mapInArrow(
+        _cdc_fast_kernel(window, target_len, min_len, max_len, arrow_id_type),
+        schema=(
+            f"doc_id {spark_type}, chunk_idx int, chunk_start int, "
+            "chunk_text string, chunk_hash string"
+        ),
+    )
+
+
+def cdc_chunks_fast_local(
+    text: str,
+    window: int = 16,
+    target_len: int = 64,
+    min_len: int | None = None,
+    max_len: int | None = None,
+) -> list[tuple[int, int, str]]:
+    """Pure-Python reference twin of ``cdc_chunks_fast`` for ONE document:
+    the windowed Gear hash is recomputed per position from scratch
+    (O(len·window), independent of the kernel's vectorized convolution)
+    and the clamp walk scans forward linearly. Test/oracle use only.
+    Returns [(chunk_idx, chunk_start, chunk_text)]."""
+    import hashlib
+
+    if min_len is None:
+        min_len = max(target_len // 4, 1)
+    if max_len is None:
+        max_len = target_len * 4
+    gear = [int(hashlib.md5(bytes([b])).hexdigest()[:16], 16) for b in range(256)]
+    M = (1 << 64) - 1
+
+    def mix(x: int) -> int:
+        x ^= x >> 33
+        x = (x * 0xFF51AFD7ED558CCD) & M
+        return x ^ (x >> 33)
+
+    n = len(text)
+    is_cand = []
+    for i in range(n):
+        h = 0
+        for k in range(min(window, 64)):
+            if i - k < 0:
+                break
+            h = (h + (gear[ord(text[i - k]) & 0xFF] << k)) & M
+        is_cand.append(mix(h) % target_len == 0)
+    cuts = []
+    pos = 0
+    while n - pos > max_len:
+        nxt = None
+        for c in range(pos + min_len, pos + max_len + 1):
+            if c <= n and is_cand[c - 1]:
+                nxt = c
+                break
+        pos = nxt if nxt is not None else pos + max_len
+        cuts.append(pos)
+    starts = [0] + cuts
+    ends = cuts + [n]
+    return [(i, s, text[s:e]) for i, (s, e) in enumerate(zip(starts, ends))]
