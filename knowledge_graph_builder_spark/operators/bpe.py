@@ -152,6 +152,7 @@ def bpe_train(
     text_col: str = "text",
     method: str = "auto",
     min_freq: int = 1,
+    max_dict_words: int = 2_000_000,
 ) -> DataFrame:
     """Learn the top ``n_merges`` BPE merges over a document corpus.
 
@@ -178,6 +179,16 @@ def bpe_train(
     ``auto`` picks ``loop`` for <= 32 merges (keeps the fully-distributed
     path exercised where it is cheap) and ``collect`` beyond — real
     tokenizer merge counts must never serialize O(merges) Spark jobs.
+
+    The collect is SIZE-GATED (same early-exit ``limit(k+1).count()``
+    probe as ``canonicalize.connected_components``): on a web corpus the
+    distinct-word dictionary (typos, URLs, hex blobs) is 10^8-10^9 rows —
+    a corpus-shaped driver collect with the default ``min_freq=1``. If
+    the dictionary exceeds ``max_dict_words``, ``min_freq`` is doubled
+    (re-probing the persisted dictionary, never re-scanning the corpus)
+    until it fits. Pruning freq<k words is the standard tokenizer-
+    training mitigation: a hapax word cannot dominate early merges, and
+    the escalation is deterministic, so reruns agree.
     """
     spark = docs.sparkSession
     if method not in ("auto", "loop", "collect"):
@@ -187,7 +198,24 @@ def bpe_train(
         wf = word_frequencies(docs, text_col)
         if min_freq > 1:
             wf = wf.filter(F.col("freq") >= min_freq)
-        items = sorted((r["word"], int(r["freq"])) for r in wf.collect())
+        persisted = [wf.persist()]
+        try:
+            eff_min_freq = max(min_freq, 1)
+            wf = persisted[0]
+            while wf.limit(max_dict_words + 1).count() > max_dict_words:
+                eff_min_freq = max(eff_min_freq * 2, 2)
+                if eff_min_freq > 1 << 30:  # degenerate corpus: refuse
+                    raise ValueError(
+                        f"word dictionary exceeds max_dict_words={max_dict_words} "
+                        f"even at min_freq={eff_min_freq}; raise the budget or "
+                        "pre-aggregate the corpus"
+                    )
+                wf = wf.filter(F.col("freq") >= eff_min_freq).persist()
+                persisted.append(wf)
+            items = sorted((r["word"], int(r["freq"])) for r in wf.collect())
+        finally:
+            for df in persisted:
+                df.unpersist()
         return spark.createDataFrame(_train_from_word_freqs(items, n_merges), schema)
     words = (
         word_frequencies(docs, text_col)

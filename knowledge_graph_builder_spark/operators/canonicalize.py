@@ -139,7 +139,6 @@ def _cc_driver(edges: DataFrame) -> DataFrame:
     union-by-size; the component label is the MINIMUM member, identical to
     the distributed loop (parity pinned by test)."""
     spark = edges.sparkSession
-    rows = edges.select("a", "b").collect()
     parent: dict = {}
 
     def find(x):
@@ -150,9 +149,17 @@ def _cc_driver(edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
+    # stream the pairs instead of collect(): toLocalIterator holds one
+    # partition of Row objects at a time and each Row is unpacked and
+    # dropped immediately, so driver residency is O(nodes) interned
+    # strings (the union-find state), not O(edges) Row objects
+    # (round-4 advice: 1M collected Rows is hundreds of driver MB).
     size: dict = {}
-    for r in rows:
-        a, b = find(r["a"]), find(r["b"])
+    nodes: set = set()
+    for ea, eb in edges.select("a", "b").toLocalIterator():
+        nodes.add(ea)
+        nodes.add(eb)
+        a, b = find(ea), find(eb)
         if a == b:
             continue
         if size.get(a, 1) < size.get(b, 1):
@@ -160,7 +167,6 @@ def _cc_driver(edges: DataFrame) -> DataFrame:
         parent[b] = a
         size[a] = size.get(a, 1) + size.get(b, 1)
     members: dict = {}
-    nodes = {r["a"] for r in rows} | {r["b"] for r in rows}
     for n in nodes:
         members.setdefault(find(n), []).append(n)
     out = sorted((n, min(ms)) for ms in members.values() for n in ms)
@@ -174,7 +180,11 @@ def _cc_driver(edges: DataFrame) -> DataFrame:
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 20,
-    small_graph_threshold: int = 1_000_000,
+    # 200k pairs ≈ tens of MB of driver union-find state with streamed
+    # ingestion (round-4 advice: the old 1M default meant up to 1M
+    # collected Rows — hundreds of MB of per-Row overhead on a default
+    # driver heap)
+    small_graph_threshold: int = 200_000,
 ) -> DataFrame:
     """edges(a, b) -> (name, component) via alternating large-star /
     small-star until fixpoint. Components are identified by their

@@ -222,6 +222,33 @@ def test_bpe_train_matches_reference_twin(spark):
     assert got[0][:4] == (0, "e", "s", "es") and got[1][:4] == (1, "es", "t", "est")
 
 
+def test_bpe_collect_gate_escalates_min_freq(spark):
+    """Round-4 verdict ask #3: the collect path must never pull a
+    corpus-shaped dictionary onto the driver. An adversarial corpus of
+    (mostly) unique words blows the ``max_dict_words`` gate at
+    min_freq=1; the deterministic min_freq doubling prunes the hapax
+    tail on the persisted dictionary before any collect happens."""
+    from knowledge_graph_builder_spark.operators.bpe import bpe_train
+
+    uniq = " ".join(f"w{i}x" for i in range(500))
+    docs = spark.createDataFrame([(0, uniq), (1, "abab " * 40)], ["doc_id", "text"])
+    out = (
+        bpe_train(docs, n_merges=4, method="collect", max_dict_words=100)
+        .orderBy("rank")
+        .collect()
+    )
+    # gate escalated min_freq to 2: only 'abab' (freq 40) survives, so
+    # training sees that single word — (a,b) x2 per word wins, then the
+    # folded [ab, ab] merges
+    assert [(r.left, r.right) for r in out][:2] == [("a", "b"), ("ab", "ab")]
+    # fully adversarial: ALL words unique -> everything pruned -> zero
+    # merges, cleanly (never a 500-row collect against a 100-row budget)
+    docs2 = spark.createDataFrame([(0, uniq)], ["doc_id", "text"])
+    assert (
+        bpe_train(docs2, n_merges=8, method="collect", max_dict_words=100).count() == 0
+    )
+
+
 def test_bpe_merge_is_leftmost_nonoverlapping(spark):
     """'aaaa' with merge (a,a) folds to [aa, aa], 'aaa' to [aa, a] — the
     reference replacement order; overlapping re-merge would differ."""
@@ -452,9 +479,10 @@ def test_bpe_train_scales_in_merge_count(spark):
         sc.cancelJobGroup("bpe-train-1000")
         sc.setJobGroup("", "")
     assert got == expected
-    # O(1) jobs: the scan+collect plus the tiny result materialization —
-    # nothing remotely like one job per merge
-    assert len(jobs) <= 6, f"expected O(1) Spark jobs, saw {len(jobs)}"
+    # O(1) jobs: the scan, the size-gate probe (limit(k+1).count()), the
+    # collect, and the tiny result materialization — nothing remotely
+    # like one job per merge
+    assert len(jobs) <= 8, f"expected O(1) Spark jobs, saw {len(jobs)}"
 
 
 def test_bpe_train_min_freq_prunes_tail(spark):
