@@ -120,10 +120,15 @@ def dsir_importance(
     scores to ``sampling.weighted_sample_without_replacement`` to
     materialize the resampled corpus.
 
-    Scale shape: ONE corpus scan explodes grams to (doc, bucket) rows;
-    bucket distributions are a ``n_buckets``-row aggregate (broadcast
-    back); the per-doc score is a groupBy sum of narrow rows. The hash is
-    md5-derived (engine-portable, so the DuckDB oracle reproduces it).
+    Scale shape: ONE corpus scan explodes grams and map-side-combines to
+    at most ``n_buckets`` narrow rows per document per partition; that
+    (doc, is_target, bucket, cnt) frame is locally checkpointed (bounded:
+    ≤ n_buckets rows/doc, ~1% of corpus bytes) and BOTH the bucket
+    distribution and the per-doc scores derive from it — the round-4
+    shape recomputed the corpus explode twice, once in the score plan and
+    once inside the broadcast-weights job (measured 5.5 s -> the fix is
+    most of it at sf0.1). The hash is md5-derived (engine-portable, so
+    the DuckDB oracle reproduces it).
     Engine-exactness: the per-feature log-ratio is quantized to integer
     MICRO-nats before the weighted sum, so every aggregate is an integer
     sum (order-independent across engines); the reported ``log_weight``
@@ -132,12 +137,22 @@ def dsir_importance(
     Returns (doc_id, n_feats, log_weight).
     """
     feats = dsir_features(docs, target_filter, id_col, text_col, n_buckets)
-    per_doc_bucket = feats.groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
-    dist = feats.groupBy("bucket").agg(
-        F.count("*").alias("q_cnt"),
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("p_cnt"),
+    # is_target is constant per doc, so grouping by it too changes no
+    # group; carrying it through lets dist derive from the AGGREGATED
+    # narrow rows instead of a second corpus explode. localCheckpoint
+    # (lazy) truncates lineage so the broadcast-weights job and the score
+    # plan share one materialization; the ContextCleaner reclaims the
+    # blocks when the result frame is dropped.
+    per_key = (
+        feats.groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    return dsir_score(per_doc_bucket, dist, n_buckets, smoothing)
+    dist = per_key.groupBy("bucket").agg(
+        F.sum("cnt").alias("q_cnt"),
+        F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(0)).alias("p_cnt"),
+    )
+    return dsir_score(per_key.select("doc_id", "bucket", "cnt"), dist, n_buckets, smoothing)
 
 
 def dsir_features(

@@ -24,6 +24,8 @@ import os
 import time
 from dataclasses import dataclass, field
 
+from ..sources.fsio import io_for
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.assembly import assemble_conversations
@@ -76,22 +78,28 @@ class Checkpointer:
         self.lineage: list[dict] = []
         self._manifest: dict[str, dict] = {}
         if root:
-            os.makedirs(root, exist_ok=True)
+            # metadata I/O through the fsio shim: the checkpoint root can
+            # live next to the data (hdfs://, s3a://) instead of only on
+            # the driver's local disk
+            self.io = io_for(root, spark)
+            self.io.makedirs(root)
             mpath = self._manifest_path()
-            if os.path.exists(mpath):
-                with open(mpath) as fh:
-                    for line in fh:
+            if self.io.exists(mpath):
+                for line in self.io.read_text(mpath).splitlines():
+                    try:
                         row = json.loads(line)
-                        # a stage is reusable only for the SAME run id AND
-                        # the same input fingerprint — re-running over
-                        # different input with a stale checkpoint dir must
-                        # recompute, not silently return old data
-                        if (
-                            row.get("run_id") == run_id
-                            and row.get("status") == "ok"
-                            and row.get("fingerprint", "") == fingerprint
-                        ):
-                            self._manifest[row["stage"]] = row
+                    except ValueError:
+                        continue  # torn final line from a killed appender
+                    # a stage is reusable only for the SAME run id AND
+                    # the same input fingerprint — re-running over
+                    # different input with a stale checkpoint dir must
+                    # recompute, not silently return old data
+                    if (
+                        row.get("run_id") == run_id
+                        and row.get("status") == "ok"
+                        and row.get("fingerprint", "") == fingerprint
+                    ):
+                        self._manifest[row["stage"]] = row
 
     def _manifest_path(self) -> str:
         return os.path.join(self.root, "manifest.jsonl")
@@ -102,7 +110,7 @@ class Checkpointer:
             df = compute()
             return df
         path = os.path.join(self.root, name)
-        if name in self._manifest and os.path.exists(os.path.join(path, "_SUCCESS")):
+        if name in self._manifest and self.io.exists(os.path.join(path, "_SUCCESS")):
             self.lineage.append({**self._manifest[name], "resumed": True})
             return self.spark.read.parquet(path)
         t0 = time.monotonic()
@@ -145,8 +153,7 @@ class Checkpointer:
             "wall_ms": int((time.monotonic() - t0) * 1000),
             "status": "ok",
         }
-        with open(self._manifest_path(), "a") as fh:
-            fh.write(json.dumps(row) + "\n")
+        self.io.append_text(self._manifest_path(), json.dumps(row) + "\n")
         self.lineage.append(row)
         self._manifest[name] = row
         return out

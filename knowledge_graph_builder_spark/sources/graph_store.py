@@ -24,16 +24,19 @@ Scale design — the tables are HASH-BUCKETED on the merge key
 
 Two commit protocols, selected by ``commit_mode``:
 
-* ``rename`` (default) — the bucket-directory swap above. Atomic ONLY on
-  a POSIX filesystem (os.rename); correct in this sandbox and on HDFS,
-  NOT on S3-style object stores (no atomic directory rename).
+* ``rename`` (default) — the bucket-directory swap above. Atomic on
+  POSIX filesystems and HDFS, NOT on S3-style object stores (no atomic
+  directory rename) — use ``manifest`` mode there.
 * ``manifest`` — the Iceberg-metadata-pointer pattern, safe on object
   stores: every commit writes its merged buckets to an IMMUTABLE,
   uniquely-named commit directory (data files are never renamed or
   overwritten), then atomically swaps ONE small manifest file mapping
   bucket -> commit directory. The only atomicity primitive required is
-  single-file replace (os.replace here; a conditional PUT / pointer
-  update on an object store — exactly what an Iceberg catalog provides).
+  single-file replace (``fsio`` routes it to os.replace locally and
+  FileContext.rename(OVERWRITE) on Hadoop filesystems — atomic on HDFS;
+  a true object-store deployment should hold the pointer in a
+  conditional-PUT catalog, exactly what an Iceberg catalog provides —
+  see fsio.py's atomicity notes).
   A crash before the manifest swap leaves an orphan commit directory
   and a fully consistent old manifest; retries re-merge the same batch
   (value-idempotent as above) and ``vacuum()`` reclaims orphans.
@@ -52,8 +55,9 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import uuid
+
+from .fsio import io_for
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -83,6 +87,7 @@ class GraphStore:
         n_buckets: int = 64,
         keep_history: bool = False,
         commit_mode: str = "rename",
+        io=None,
     ):
         if commit_mode not in ("rename", "manifest"):
             raise ValueError(f"unknown commit_mode {commit_mode!r}")
@@ -91,7 +96,11 @@ class GraphStore:
         self.n_buckets = n_buckets
         self.keep_history = keep_history
         self.commit_mode = commit_mode
-        os.makedirs(root, exist_ok=True)
+        # all metadata I/O (manifests, counters, bucket-dir swaps) goes
+        # through the fsio shim so the store runs wherever the DATA lives
+        # (hdfs://, s3a://, ...), not only on the driver's local disk
+        self.io = io if io is not None else io_for(root, spark)
+        self.io.makedirs(root)
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -111,19 +120,16 @@ class GraphStore:
 
     def _load_manifest(self, table: str) -> dict | None:
         p = self._manifest_path(table)
-        if not os.path.exists(p):
+        if not self.io.exists(p):
             return None
-        with open(p) as fh:
-            return json.load(fh)
+        return json.loads(self.io.read_text(p))
 
     def _store_manifest(self, table: str, manifest: dict) -> None:
         """The ONE atomic step of a manifest commit: single-file replace
         (object-store equivalent: conditional PUT of the pointer)."""
-        p = self._manifest_path(table)
-        tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh, sort_keys=True)
-        os.replace(tmp, p)
+        self.io.write_text_atomic(
+            self._manifest_path(table), json.dumps(manifest, sort_keys=True)
+        )
 
     def _write_commit(self, df: DataFrame, table: str, seq: int) -> tuple[str, list[int]]:
         """Write one immutable commit directory partitioned by _bucket;
@@ -132,7 +138,7 @@ class GraphStore:
         path = os.path.join(self._commits_root(table), name)
         df.write.mode("error").partitionBy("_bucket").parquet(path)
         present = sorted(
-            int(e.split("=", 1)[1]) for e in os.listdir(path) if e.startswith("_bucket=")
+            int(e.split("=", 1)[1]) for e in self.io.listdir(path) if e.startswith("_bucket=")
         )
         return name, present
 
@@ -181,13 +187,13 @@ class GraphStore:
         the removed directory names."""
         manifest = self._load_manifest(table)
         croot = self._commits_root(table)
-        if manifest is None or not os.path.isdir(croot):
+        if manifest is None or not self.io.isdir(croot):
             return []
         live = set(manifest["buckets"].values())
         removed = []
-        for entry in sorted(os.listdir(croot)):
+        for entry in self.io.listdir(croot):
             if entry not in live:
-                shutil.rmtree(os.path.join(croot, entry))
+                self.io.rmtree(os.path.join(croot, entry))
                 removed.append(entry)
         return removed
 
@@ -196,7 +202,7 @@ class GraphStore:
         if manifest is not None:
             return self._manifest_read(table, manifest)
         p = self._path(table)
-        if os.path.exists(os.path.join(p, "_SUCCESS")):
+        if self.io.exists(os.path.join(p, "_SUCCESS")):
             return self.spark.read.parquet(p)
         return None
 
@@ -210,15 +216,17 @@ class GraphStore:
             writer = writer.partitionBy(partition_by)
         writer.parquet(staging)
         old = f"{final}._old-{uuid.uuid4().hex[:8]}"
-        if os.path.exists(final):
-            os.rename(final, old)
-        os.rename(staging, final)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        if self.io.exists(final):
+            self.io.rename(final, old)
+        self.io.rename(staging, final)
+        if self.io.exists(old):
+            self.io.rmtree(old)
 
     def _is_bucketed(self, table: str) -> bool:
         p = self._path(table)
-        return os.path.exists(p) and any(e.startswith("_bucket=") for e in os.listdir(p))
+        return self.io.exists(p) and any(
+            e.startswith("_bucket=") for e in self.io.listdir(p)
+        )
 
     def _table_mode(self, table: str) -> str:
         """Effective commit protocol for one table. A table that already
@@ -304,15 +312,15 @@ class GraphStore:
         for b in touched:
             src = os.path.join(staging, f"_bucket={b}")
             dst = os.path.join(final, f"_bucket={b}")
-            if not os.path.exists(src):
+            if not self.io.exists(src):
                 continue  # defensive: a bucket emptied by dedup can't occur on upsert
             old = f"{dst}._old-{uuid.uuid4().hex[:8]}"
-            if os.path.exists(dst):
-                os.rename(dst, old)
-            os.rename(src, dst)
-            if os.path.exists(old):
-                shutil.rmtree(old)
-        shutil.rmtree(staging)
+            if self.io.exists(dst):
+                self.io.rename(dst, old)
+            self.io.rename(src, dst)
+            if self.io.exists(old):
+                self.io.rmtree(old)
+        self.io.rmtree(staging)
 
     def _dedup(self, merged: DataFrame, key_cols: list[str]) -> DataFrame:
         # tiebreak beyond _batch_seq: duplicate keys WITHIN one batch share
@@ -331,19 +339,15 @@ class GraphStore:
         mid-upsert skips a number instead of reusing one."""
         path = self._path(table) + ".seq"
         seq = 0
-        if os.path.exists(path):
-            with open(path) as fh:
-                seq = int(fh.read().strip() or 0) + 1
+        if self.io.exists(path):
+            seq = int(self.io.read_text(path).strip() or 0) + 1
         else:
             # legacy stores carried the sequence in the data; resume past it
             existing = self._read(table)
             if existing is not None and "_batch_seq" in existing.columns:
                 row = existing.agg(F.max("_batch_seq").alias("m")).collect()[0]
                 seq = int(row["m"] or 0) + 1
-        tmp = path + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(seq))
-        os.replace(tmp, path)
+        self.io.write_text_atomic(path, str(seq))
         return seq
 
     # -- public API ------------------------------------------------------
@@ -385,10 +389,9 @@ class GraphStore:
     def current_seq(self, table: str) -> int:
         """Last claimed batch sequence (-1 for an empty store)."""
         path = self._path(table) + ".seq"
-        if not os.path.exists(path):
+        if not self.io.exists(path):
             return -1
-        with open(path) as fh:
-            return int(fh.read().strip() or 0)
+        return int(self.io.read_text(path).strip() or 0)
 
     def clear_session(self, session_id: str) -> None:
         """S8 — delete every node/edge of one session (graph_db.py:147-151).
@@ -422,18 +425,16 @@ class BatchLedger:
     batch is skipped instead of re-merged.
     """
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, io=None):
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        self.io = io if io is not None else io_for(root)
+        self.io.makedirs(root)
 
     def _path(self, batch_id: int) -> str:
         return os.path.join(self.root, f"batch-{batch_id}.done")
 
     def applied(self, batch_id: int) -> bool:
-        return os.path.exists(self._path(batch_id))
+        return self.io.exists(self._path(batch_id))
 
     def mark(self, batch_id: int) -> None:
-        tmp = self._path(batch_id) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write("ok")
-        os.replace(tmp, self._path(batch_id))
+        self.io.write_text_atomic(self._path(batch_id), "ok")

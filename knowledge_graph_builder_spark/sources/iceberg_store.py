@@ -92,12 +92,22 @@ class IcebergGraphStore:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        deduped.createOrReplaceTempView(f"_batch_{table}")
-        on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
-        self.spark.sql(
-            f"MERGE INTO {self._qualified(table)} t USING _batch_{table} s ON {on} "
-            f"WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
-        )
+        # per-call unique temp view: a session-global name like
+        # _batch_nodes collides across concurrent store instances in one
+        # session (round-4 advice) — two in-flight upserts would MERGE
+        # each other's batches
+        import uuid
+
+        view = f"_batch_{table}_{uuid.uuid4().hex[:12]}"
+        deduped.createOrReplaceTempView(view)
+        try:
+            on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+            self.spark.sql(
+                f"MERGE INTO {self._qualified(table)} t USING {view} s ON {on} "
+                f"WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
 
     def upsert_nodes(self, nodes: DataFrame) -> None:
         self._upsert(nodes, "nodes")
@@ -115,11 +125,20 @@ class IcebergGraphStore:
         return self._read("edges")
 
     def clear_session(self, session_id: str) -> None:
+        from pyspark.errors import AnalysisException
+
         for table in ("nodes", "edges"):
             try:
+                # parameterized, not interpolated: a session_id is caller
+                # input and must not be able to rewrite the DELETE
+                # (round-4 advice)
                 self.spark.sql(
-                    f"DELETE FROM {self._qualified(table)} "
-                    f"WHERE session_id = '{session_id}'"
+                    f"DELETE FROM {self._qualified(table)} WHERE session_id = :sid",
+                    args={"sid": session_id},
                 )
-            except Exception:
-                pass  # table may not exist yet — nothing to clear
+            except AnalysisException as exc:
+                # ONLY "table does not exist yet" is a benign no-op; a
+                # catalog/connection failure must surface, not masquerade
+                # as nothing-to-clear
+                if "TABLE_OR_VIEW_NOT_FOUND" not in str(exc):
+                    raise

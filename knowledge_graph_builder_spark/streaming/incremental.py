@@ -33,6 +33,24 @@ from ..operators.extraction import EMIT_GRAPH, _rows_for_document, _KERNEL_COLS
 from ..rules import MAX_TEXT_LENGTH
 from ..plans.pipeline import run_pipeline
 from ..schema import KERNEL_ROWS, TRANSCRIPTS
+from ..sources.fsio import io_for
+
+
+def _reset_stale_partials(io, store_root: str, lineage: str, subdirs: tuple) -> None:
+    """Round-4 advice fix: per-batch partial stores are keyed batch=N,
+    but N is only meaningful under ONE checkpoint lineage. Re-ingesting
+    into an existing store_root with a FRESH checkpoint (different batch
+    partitioning — fewer/more files per trigger) would leave a prior
+    run's batch=N dirs behind, and the read-time accumulation would
+    double-count them. If this lineage has no ledger yet but the store
+    has partials, the store belongs to a dead lineage: clear it so the
+    new stream repopulates from scratch (the re-delivery equality pin is
+    exactly this scenario). Resuming the SAME checkpoint (ledger dir
+    exists) never clears."""
+    if io.exists(f"{store_root}/_applied_batches/{lineage}"):
+        return
+    for sub in subdirs + ("_applied_batches",):
+        io.rmtree(f"{store_root}/{sub}")
 
 
 def read_transcript_stream(spark: SparkSession, input_path: str, max_files: int = 16) -> DataFrame:
@@ -98,7 +116,10 @@ def stream_kg_to_store(
     # a NEW checkpoint, and skipping "batch 0" from a different stream
     # because an old stream applied its own batch 0 would lose data
     lineage = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
-    ledger = BatchLedger(f"{store_root}/_applied_batches/{lineage}")
+    # no stale-partials reset here: the GraphStore MERGE is cumulative
+    # across lineages BY DESIGN (a new stream continues the same graph);
+    # the ledger only guards batch-id replay within one lineage
+    ledger = BatchLedger(f"{store_root}/_applied_batches/{lineage}", io=store.io)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if ledger.applied(batch_id):
@@ -391,11 +412,11 @@ def stream_neardup_minhash(
     State at 10^12 docs: the signature store is (doc_id, sig) — tiny rows,
     bucketable; the doc store is the corpus the pipeline lands anyway. No
     Spark keyed state is used at all, so restart cost is the checkpoint's,
-    not a state-store rebuild. NOTE: the per-batch store layout is listed
-    with ``os.listdir``, which pins this store to a filesystem the driver
-    can see (local/NFS/HDFS-fuse); an object-store deployment would list
-    via the Hadoop FileSystem API or keep the batch index in a manifest —
-    the GraphStore manifest protocol is the pattern to reuse.
+    not a state-store rebuild. The per-batch store layout is listed
+    through the ``fsio`` shim (POSIX locally, Hadoop FileSystem for
+    hdfs://s3a://gs:// roots), so the store runs where the data lives;
+    an object-store deployment can alternatively keep the batch index in
+    a manifest — the GraphStore manifest protocol is the pattern to reuse.
     """
     import hashlib
 
@@ -413,7 +434,9 @@ def stream_neardup_minhash(
         .parquet(input_path)
     )
     lineage = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
-    ledger = BatchLedger(f"{store_root}/_applied_batches/{lineage}")
+    io = io_for(store_root, spark)
+    _reset_stale_partials(io, store_root, lineage, ("docs", "sigs", "pairs"))
+    ledger = BatchLedger(f"{store_root}/_applied_batches/{lineage}", io=io)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if ledger.applied(batch_id):
@@ -427,15 +450,13 @@ def stream_neardup_minhash(
         # accumulated signatures INCLUDING this batch (so new-new pairs
         # form). Explicit schemas on every store read: a batch with zero
         # output rows leaves a directory whose schema can't be inferred.
-        import os
-
         def _batch_dirs(sub: str, exclude: int | None = None) -> list[str]:
             root = f"{store_root}/{sub}"
-            if not os.path.isdir(root):
+            if not io.isdir(root):
                 return []
             return [
                 f"{root}/{d}"
-                for d in sorted(os.listdir(root))
+                for d in io.listdir(root)
                 if d.startswith("batch=") and d != f"batch={exclude}"
             ]
 
@@ -543,7 +564,9 @@ def stream_dsir(
         .parquet(input_path)
     )
     lineage = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
-    ledger = BatchLedger(f"{store_root}/_applied_batches/{lineage}")
+    io = io_for(store_root, spark)
+    _reset_stale_partials(io, store_root, lineage, ("doc_buckets", "dist"))
+    ledger = BatchLedger(f"{store_root}/_applied_batches/{lineage}", io=io)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if ledger.applied(batch_id):
@@ -551,13 +574,20 @@ def stream_dsir(
         feats = dsir_features(
             batch_df, F.col("lang") == target_lang, n_buckets=n_buckets
         )
-        per_doc = feats.groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
-        per_doc.write.mode("overwrite").parquet(
+        # one explode per batch (same restructure as dsir_importance):
+        # aggregate to narrow (doc, is_target, bucket, cnt) rows once,
+        # derive the distribution partial from them
+        per_key = (
+            feats.groupBy("doc_id", "is_target", "bucket")
+            .agg(F.count("*").alias("cnt"))
+            .localCheckpoint(eager=False)
+        )
+        per_key.select("doc_id", "bucket", "cnt").write.mode("overwrite").parquet(
             f"{store_root}/doc_buckets/batch={batch_id}"
         )
-        dist = feats.groupBy("bucket").agg(
-            F.count("*").alias("q_cnt"),
-            F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("p_cnt"),
+        dist = per_key.groupBy("bucket").agg(
+            F.sum("cnt").alias("q_cnt"),
+            F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(0)).alias("p_cnt"),
         )
         dist.write.mode("overwrite").parquet(f"{store_root}/dist/batch={batch_id}")
         ledger.mark(batch_id)
@@ -576,17 +606,15 @@ def read_dsir_weights(
     """Current DSIR weights over everything ``stream_dsir`` has ingested:
     sum the per-batch distribution partials, score the accumulated
     per-doc bucket counts (shared ``dsir_score``)."""
-    import os
-
     from ..operators.curation import dsir_score
+
+    io = io_for(store_root, spark)
 
     def _dirs(sub: str) -> list[str]:
         root = f"{store_root}/{sub}"
-        if not os.path.isdir(root):
+        if not io.isdir(root):
             return []
-        return [
-            f"{root}/{d}" for d in sorted(os.listdir(root)) if d.startswith("batch=")
-        ]
+        return [f"{root}/{d}" for d in io.listdir(root) if d.startswith("batch=")]
 
     doc_dirs, dist_dirs = _dirs("doc_buckets"), _dirs("dist")
     if not doc_dirs or not dist_dirs:
@@ -605,12 +633,11 @@ def read_dsir_weights(
 
 def read_neardup_pairs(spark: SparkSession, store_root: str) -> DataFrame:
     """All verified near-dup pairs the stream has emitted so far."""
-    import os
-
+    io = io_for(store_root, spark)
     root = f"{store_root}/pairs"
     dirs = (
-        [f"{root}/{d}" for d in sorted(os.listdir(root)) if d.startswith("batch=")]
-        if os.path.isdir(root)
+        [f"{root}/{d}" for d in io.listdir(root) if d.startswith("batch=")]
+        if io.isdir(root)
         else []
     )
     schema = "a bigint, b bigint, jaccard double"
