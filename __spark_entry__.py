@@ -1633,6 +1633,46 @@ def _q_kg_incremental(spark, sf_dir):
     )
 
 
+def _q_kg_incremental_multi(spark, sf_dir):
+    # round-4 verdict ask #7: incremental maintenance as a 3-snapshot
+    # torture sequence — an ADD, a REMOVE, and a REMOVED-THEN-RE-ADDED
+    # conv_id — each step a diff-pruned incremental_update into the same
+    # manifest-mode store. The sequence uses whole golden conversations
+    # (every add/re-add at full content), so the MERGE-accumulated final
+    # state equals the full corpus's triple set and the query shares the
+    # golden kg_incremental oracle. MERGE-accumulate equality under EDITS
+    # (where superseded keys legitimately linger) is pinned separately by
+    # tests/test_resume.py::test_incremental_three_snapshot_torture.
+    import tempfile
+
+    from knowledge_graph_builder_spark.plans.incremental import incremental_update
+    from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
+    from knowledge_graph_builder_spark.sources.graph_store import GraphStore
+    from knowledge_graph_builder_spark.sources.synth import golden_transcripts
+
+    full = golden_transcripts(spark)
+    convs = sorted(r[0] for r in full.select("conv_id").distinct().collect())
+    a, b, c = convs[0], convs[1], convs[-1]
+    v1 = full.filter(~F.col("conv_id").isin(a, c))  # A, C absent
+    v2 = full.filter(~F.col("conv_id").isin(b, c))  # A added, B removed
+    v3 = full  # B re-added (remove-then-re-add), C added
+    store = GraphStore(
+        spark, tempfile.mkdtemp(prefix="kgb_incr3_"), n_buckets=8, commit_mode="manifest"
+    )
+    res1 = run_pipeline(spark, v1, persist=False)
+    store.upsert_nodes(res1.nodes)
+    store.upsert_edges(res1.edges)
+    r12 = incremental_update(spark, store, v1, v2)
+    assert (r12.n_changed_convs, r12.n_removed_convs) == (1, 1), r12
+    r23 = incremental_update(spark, store, v2, v3)
+    assert (r23.n_changed_convs, r23.n_removed_convs) == (2, 0), r23
+    return (
+        store.edges()
+        .filter(F.col("type") != "INVOLVES")
+        .select(F.col("src").alias("source"), F.col("type"), F.col("dst").alias("target"))
+    )
+
+
 def _q_kg_precision_recall(spark, sf_dir):
     # the north-rule headline metric (triple P/R >= 0.95 vs the reference
     # semantics) as an explicit driver-recorded number, not just a
@@ -2248,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round 5: new --
         "cdc_fast_chunks": _q_cdc_fast,
+        "kg_incremental_multi": _q_kg_incremental_multi,
         # -- round 4: new, then operator-changed (canonicalize/CC rewrite,
         #    exact-dup semi-join, bpe_train collect path, DSIR refactor) --
         "streaming_dsir": _q_streaming_dsir,
@@ -4437,6 +4478,10 @@ def oracle_sql() -> dict[str, str]:
     out["kg_incremental"] = (
         "SELECT DISTINCT source, type, target FROM (" + out["kg_triples"] + ") t"
     )
+    # the 3-snapshot torture sequence adds/re-adds whole conversations at
+    # full content only, so its MERGE-accumulated final state is the same
+    # full-corpus distinct triple set
+    out["kg_incremental_multi"] = out["kg_incremental"]
     # content-defined chunking: replay the rolling md5 boundary rule
     # (boundary at 1-indexed end position i when the md5-bucket of the
     # trailing 16-char window is 0 mod 64), rebuild chunk spans with a

@@ -131,3 +131,104 @@ def test_incremental_update_matches_full_recompute(spark, tmp_path):
     v3 = v2.filter(F.col("conv_id") != "g-new")
     report2 = incremental_update(spark, inc_store, v2, v3)
     assert report2.n_changed_convs == 0 and report2.n_removed_convs == 1
+
+
+def test_incremental_three_snapshot_torture(spark, tmp_path):
+    """Round-4 verdict ask #7: a 3-snapshot sequence covering add, edit,
+    remove, and a removed-then-re-added-with-different-content conv_id,
+    each step pinned against an INDEPENDENTLY folded oracle:
+
+    * affected/removed sets come from plain-Python set comparison of the
+      collected (conv_id, turn_idx, text) rows — not snapshot_diff;
+    * expected store state is the keyed MERGE-accumulate fold (edge keys
+      (src, type, dst), node keys (name, type)) of the pipeline run over
+      each step's affected subset — superseded keys linger by design
+      (MERGE has no tombstones, same as the reference's Neo4j MERGE).
+    """
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_builder_spark.plans.incremental import incremental_update
+    from knowledge_graph_builder_spark.plans.pipeline import run_pipeline
+    from knowledge_graph_builder_spark.sources.graph_store import GraphStore
+    from knowledge_graph_builder_spark.sources.synth import golden_transcripts
+
+    def conv_map(df):
+        out = {}
+        for r in df.select("conv_id", "turn_idx", "text").collect():
+            out.setdefault(r.conv_id, set()).add((r.turn_idx, r.text))
+        return out
+
+    def expected_affected(old, new):
+        om, nm = conv_map(old), conv_map(new)
+        changed = {c for c in om.keys() | nm.keys() if om.get(c) != nm.get(c)}
+        return sorted(changed & nm.keys()), sorted(changed - nm.keys())
+
+    exp_edges: set = set()
+    exp_nodes: set = set()
+
+    def fold(subset_df):
+        res = run_pipeline(spark, subset_df, persist=True)
+        try:
+            exp_edges.update((r.src, r.type, r.dst) for r in res.edges.collect())
+            exp_nodes.update((r.name, r.type) for r in res.nodes.collect())
+        finally:
+            res.kernel_rows.unpersist()
+
+    def check(store):
+        assert {(r.src, r.type, r.dst) for r in store.edges().collect()} == exp_edges
+        assert {(r.name, r.type) for r in store.nodes().collect()} == exp_nodes
+
+    s1 = golden_transcripts(spark)
+    convs = sorted(r[0] for r in s1.select("conv_id").distinct().collect())
+    victim, editee = convs[2], convs[1]  # removed-then-re-added; edited
+
+    # s2: edit one turn of `editee` (new founder sentence), REMOVE
+    # `victim`, ADD a brand-new conversation
+    edit = F.when(
+        (F.col("conv_id") == editee) & (F.col("turn_idx") == 0),
+        F.lit("Steve Jobs founded Apple in 1976."),
+    ).otherwise(F.col("text"))
+    newc = s1.filter(F.col("conv_id") == convs[0]).withColumn("conv_id", F.lit("t-new"))
+    s2 = s1.withColumn("text", edit).filter(F.col("conv_id") != victim).unionByName(newc)
+
+    # s3: RE-ADD `victim` with DIFFERENT content (the last conv's turns),
+    # edit t-new, remove the first conv
+    readded = (
+        s1.filter(F.col("conv_id") == convs[-1]).withColumn("conv_id", F.lit(victim))
+    )
+    edit3 = F.when(
+        (F.col("conv_id") == "t-new") & (F.col("turn_idx") == 0),
+        F.lit("Microsoft acquired GitHub."),
+    ).otherwise(F.col("text"))
+    s3 = (
+        s2.withColumn("text", edit3)
+        .filter(F.col("conv_id") != convs[0])
+        .unionByName(readded)
+    )
+
+    store = GraphStore(spark, str(tmp_path / "torture"), n_buckets=4, commit_mode="manifest")
+    res1 = run_pipeline(spark, s1, persist=False)
+    store.upsert_nodes(res1.nodes)
+    store.upsert_edges(res1.edges)
+    fold(s1)
+    check(store)
+
+    for old, new in [(s1, s2), (s2, s3)]:
+        aff, rem = expected_affected(old, new)
+        report = incremental_update(spark, store, old, new)
+        assert report.n_changed_convs == len(aff), (aff, report)
+        assert report.n_removed_convs == len(rem), (rem, report)
+        fold(new.join(new.sparkSession.createDataFrame([(c,) for c in aff], "conv_id string"), "conv_id", "leftsemi"))
+        check(store)
+
+    # the re-added conv_id carries its NEW content's triples...
+    readded_triples = {
+        (r.src, r.type, r.dst)
+        for r in run_pipeline(spark, readded, persist=False).edges.collect()
+    }
+    store_edges = {(r.src, r.type, r.dst) for r in store.edges().collect()}
+    assert readded_triples <= store_edges
+    # ...and the step counts prove the prune: step 2 touched exactly
+    # {victim (re-added), t-new (edited)} + removed {convs[0]}
+    aff3, rem3 = expected_affected(s2, s3)
+    assert victim in aff3 and "t-new" in aff3 and rem3 == [convs[0]]
