@@ -524,9 +524,10 @@ def main() -> None:
     # plan size) tokenizer application with a 64-merge table, and one
     # full streaming-drain wall for the incremental DSIR path.
     from knowledge_graph_builder_spark.operators.bpe import bpe_apply, bpe_train
-    from knowledge_graph_builder_spark.operators.packing import cdc_chunks
+    from knowledge_graph_builder_spark.operators.packing import cdc_chunks, cdc_chunks_fast
 
     timed("cdc_chunks", lambda: cdc_chunks(documents).count())
+    timed("cdc_fast_chunks", lambda: cdc_chunks_fast(documents).count())
     merge_rows = (
         bpe_train(documents, n_merges=64, method="collect", min_freq=2)
         .orderBy("rank")
