@@ -127,6 +127,23 @@ def test_spark_kernel_two_megachar_doc(spark):
     assert len(by_doc[1]) >= 2_000_000 // 256  # max_len bounds chunk count below
 
 
+def test_degenerate_content():
+    """All-same-character documents: the windowed Gear hash is constant
+    past the warm-up, so positions are either all candidates or none —
+    both must still produce clamped, reassemblable chunks (forced cuts
+    at max_len in the no-candidate case, min_len spacing in the
+    all-candidate case)."""
+    for ch in ["a", "é", " "]:
+        text = ch * 5000
+        chunks = cdc_chunks_fast_local(text, target_len=64)  # clamps 16/256
+        assert "".join(t for _, _, t in chunks) == text
+        lens = [len(t) for _, _, t in chunks]
+        assert all(16 <= l <= 256 for l in lens[:-1])
+        assert len(set(lens[1:-1])) <= 1  # steady state: constant stride
+    # document shorter than min_len: one chunk, unchanged
+    assert cdc_chunks_fast_local("abc", target_len=64) == [(0, 0, "abc")]
+
+
 def test_rejects_bad_clamps(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
     with pytest.raises(ValueError):
