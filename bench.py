@@ -601,7 +601,10 @@ def main() -> None:
         sdsir_rep[0] += 1
         root = f"{sdsir_base}/rep{sdsir_rep[0]}"
         q = stream_dsir(spark, sdsir_in, f"{root}/store", f"{root}/ckpt", n_buckets=64)
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            # a hung micro-batch must not leak a live query into the next
+            # timed section (or survive the rmtree of its own checkpoint)
+            q.stop()
         return read_dsir_weights(spark, f"{root}/store", n_buckets=64).count()
 
     if sdsir_ready:
@@ -643,8 +646,15 @@ def main() -> None:
     # line was truncated. It now goes to a file; stdout gets a COMPACT
     # line (<1 KB) with only the headline numbers the record needs.
     record_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_record.json")
-    with open(record_path, "w") as fh:
-        json.dump(full_record, fh, indent=1)
+    try:
+        with open(record_path, "w") as fh:
+            json.dump(full_record, fh, indent=1)
+    except OSError as exc:
+        # a full disk / read-only dir must not kill the run AFTER every
+        # section completed — the compact stdout line below is the
+        # driver's record of last resort and must still print
+        errors["record_file"] = f"{type(exc).__name__}: {exc}"
+        record_path = None
     scaling = extras.get("scaling")
     compact_scaling = None
     if isinstance(scaling, dict):
@@ -670,7 +680,7 @@ def main() -> None:
                 "turns_per_sec": extras.get("turns_per_sec"),
                 "cpu_calibration_sec": extras.get("cpu_calibration_sec"),
                 "scaling": compact_scaling,
-                "record_file": "bench_record.json",
+                "record_file": "bench_record.json" if record_path else None,
                 # keep the compact line small: first 5 errors, clipped hard
                 **(
                     {

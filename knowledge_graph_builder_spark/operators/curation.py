@@ -139,14 +139,16 @@ def dsir_importance(
     feats = dsir_features(docs, target_filter, id_col, text_col, n_buckets)
     # is_target is constant per doc, so grouping by it too changes no
     # group; carrying it through lets dist derive from the AGGREGATED
-    # narrow rows instead of a second corpus explode. localCheckpoint
-    # (lazy) truncates lineage so the broadcast-weights job and the score
-    # plan share one materialization; the ContextCleaner reclaims the
-    # blocks when the result frame is dropped.
+    # narrow rows instead of a second corpus explode. persist (lazy) lets
+    # the broadcast-weights job and the score plan share one
+    # materialization while KEEPING lineage — unlike localCheckpoint,
+    # losing an executor's blocks recomputes instead of failing the job
+    # (on spot/decommissioned fleets that difference is the job). The
+    # ContextCleaner reclaims the cache when the result frame is dropped.
     per_key = (
         feats.groupBy("doc_id", "is_target", "bucket")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     dist = per_key.groupBy("bucket").agg(
         F.sum("cnt").alias("q_cnt"),

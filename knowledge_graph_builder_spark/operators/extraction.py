@@ -21,6 +21,7 @@ Per-row Python is never used; the kernel sees pandas batches via Arrow.
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Iterator
 
 import pandas as pd
@@ -253,12 +254,24 @@ def extract_from_transcripts(
         # DisableUnnecessaryBucketedScan would happily demote the bucketed
         # scan to size-based file splits (no operator "requires" the
         # distribution) — correct plans on tiny files, silent duplicate
-        # partial documents once files are big enough to split. Pin the
-        # optimization off at the session feeding this read; get_spark
-        # also sets it, this covers sessions built elsewhere.
-        transcripts.sparkSession.conf.set(
-            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
-        )
+        # partial documents once files are big enough to split. The flag
+        # is consulted at PLANNING time, so a set/restore around this
+        # (lazy) builder would be a no-op; it must stay off until the
+        # caller's action runs. get_spark sessions already pin it off; for
+        # sessions built elsewhere we pin it here and say so out loud
+        # rather than silently reconfiguring the caller's planner.
+        conf = transcripts.sparkSession.conf
+        flag = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        if conf.get(flag, "true") != "false":
+            warnings.warn(
+                f"extract_from_transcripts(assume_clustered=True) set {flag}=false "
+                "for this SparkSession (session-global): bucketed-scan demotion "
+                "would split conversations across partitions and corrupt results. "
+                "Build sessions with knowledge_graph_builder_spark.session.get_spark "
+                "to pre-pin it.",
+                stacklevel=2,
+            )
+            conf.set(flag, "false")
     t = t.sortWithinPartitions("conv_id", "turn_idx")
     t = t.select("conv_id", "text")  # column order contract with the kernel
     return t.mapInArrow(_make_fused_kernel(emit), schema=KERNEL_ROWS)

@@ -56,6 +56,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+from urllib.parse import urlparse
 
 from .fsio import io_for
 
@@ -91,6 +92,18 @@ class GraphStore:
     ):
         if commit_mode not in ("rename", "manifest"):
             raise ValueError(f"unknown commit_mode {commit_mode!r}")
+        scheme = urlparse(root).scheme
+        if commit_mode == "rename" and scheme not in ("", "file", "hdfs", "viewfs"):
+            # rename-mode correctness rests on atomic directory rename,
+            # which object stores (s3a, gs, ...) emulate as copy+delete —
+            # a crash mid bucket-swap leaves a torn mix of old and new
+            # bucket dirs that no reader can detect. The fsio shim makes
+            # the calls RUN there; it cannot make them atomic.
+            raise ValueError(
+                f"commit_mode='rename' requires atomic directory rename, which "
+                f"scheme {scheme!r} does not provide; use commit_mode='manifest' "
+                "(single-pointer commits, object-store safe)"
+            )
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets

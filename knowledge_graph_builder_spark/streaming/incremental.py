@@ -46,10 +46,20 @@ def _reset_stale_partials(io, store_root: str, lineage: str, subdirs: tuple) -> 
     has partials, the store belongs to a dead lineage: clear it so the
     new stream repopulates from scratch (the re-delivery equality pin is
     exactly this scenario). Resuming the SAME checkpoint (ledger dir
-    exists) never clears."""
+    exists) never clears.
+
+    Only the DATA subdirs are cleared — ledger dirs under
+    `_applied_batches` are left alone. The double-count hazard lives
+    entirely in stale batch=N data dirs (read-time accumulation sums
+    them); ledgers are consulted per-lineage and are harmless at read
+    time. Deleting other lineages' ledgers would make a later re-run of
+    an OLD checkpoint look fresh (its ledger gone, its checkpoint
+    offsets intact), so it would wipe the live lineage's data and then
+    re-deliver nothing — a silent-empty store. Keeping ledgers makes
+    takeover one-directional and idempotent."""
     if io.exists(f"{store_root}/_applied_batches/{lineage}"):
         return
-    for sub in subdirs + ("_applied_batches",):
+    for sub in subdirs:
         io.rmtree(f"{store_root}/{sub}")
 
 

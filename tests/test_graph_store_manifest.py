@@ -200,3 +200,15 @@ def test_manifest_migrates_legacy_layout(spark, tmp_path):
     assert _state(store) == {("Apple", "ORG"): "s1", ("MSFT", "ORG"): "s1"}
     manifest = json.load(open(f"{root}/nodes.manifest.json"))
     assert manifest["buckets"]  # manifest now owns the table
+
+
+def test_rename_mode_refuses_object_store_roots(spark):
+    """Rename-mode commits need atomic directory rename; object stores
+    emulate it as copy+delete (torn commits on crash). The constructor
+    must refuse rather than run unsafely; manifest mode is the documented
+    object-store path (the guard fires before any I/O, so no real bucket
+    is needed)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="atomic directory rename"):
+        GraphStore(spark, "s3a://bucket/graph", commit_mode="rename")

@@ -422,3 +422,79 @@ def test_stream_dsir_matches_batch_and_redelivery(spark, tmp_path):
     q2 = stream_dsir(spark, inp, store, str(tmp_path / "dck2"), n_buckets=32)
     q2.awaitTermination(180)
     assert weights() == expected
+
+
+def test_old_lineage_rerun_cannot_wipe_live_lineage(spark, tmp_path):
+    """Regression (round-5 review): _reset_stale_partials must clear only
+    the DATA subdirs of a dead lineage, never other lineages' ledgers.
+    If lineage A's ledger were deleted when lineage B takes over, a later
+    re-run of A would look fresh (ledger gone, checkpoint offsets
+    intact): it would wipe B's data and then re-deliver nothing — a
+    silent-empty store. Sequence: drain via ckptA, re-deliver via ckptB
+    (takeover), then re-run ckptA — weights must still equal batch."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_builder_spark.operators.curation import dsir_importance
+    from knowledge_graph_builder_spark.streaming.incremental import (
+        read_dsir_weights,
+        stream_dsir,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "der schnelle braune fuchs springt", "de"),
+        (3, "a quiet river bank in the morning light", "en"),
+    ]
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string"
+    ).coalesce(1).write.parquet(inp)
+    store = str(tmp_path / "store")
+
+    expected = {
+        r.doc_id: (r.n_feats, round(r.log_weight, 6))
+        for r in dsir_importance(
+            spark.createDataFrame(rows, "doc_id bigint, text string, lang string"),
+            F.col("lang") == "en",
+            n_buckets=32,
+        ).collect()
+    }
+
+    def weights():
+        return {
+            r.doc_id: (r.n_feats, round(r.log_weight, 6))
+            for r in read_dsir_weights(spark, store, n_buckets=32).collect()
+        }
+
+    stream_dsir(spark, inp, store, str(tmp_path / "ckptA"), n_buckets=32).awaitTermination(180)
+    assert weights() == expected
+    # fresh-checkpoint takeover (lineage B): wipes A's stale data, not A's ledger
+    stream_dsir(spark, inp, store, str(tmp_path / "ckptB"), n_buckets=32).awaitTermination(180)
+    assert weights() == expected
+    # re-run of the ORIGINAL checkpoint: its ledger must have survived, so
+    # this resumes (no wipe) and re-delivers nothing — store stays intact
+    stream_dsir(spark, inp, store, str(tmp_path / "ckptA"), n_buckets=32).awaitTermination(180)
+    assert weights() == expected
+
+
+def test_reset_stale_partials_preserves_ledgers(tmp_path):
+    """Unit pin for the same fix: B's reset clears data subdirs only; A's
+    subsequent reset early-returns because A's ledger survived."""
+    from knowledge_graph_builder_spark.sources.fsio import PosixFileIO
+    from knowledge_graph_builder_spark.streaming.incremental import (
+        _reset_stale_partials,
+    )
+
+    io = PosixFileIO()
+    root = str(tmp_path / "store")
+    for p in (f"{root}/dist/batch=0", f"{root}/_applied_batches/lineageA"):
+        io.makedirs(p)
+    io.write_text_atomic(f"{root}/_applied_batches/lineageA/0", "done")
+
+    _reset_stale_partials(io, root, "lineageB", ("dist",))
+    assert not io.exists(f"{root}/dist/batch=0")
+    assert io.exists(f"{root}/_applied_batches/lineageA/0")
+
+    io.makedirs(f"{root}/dist/batch=0")  # lineage B's new data
+    _reset_stale_partials(io, root, "lineageA", ("dist",))
+    assert io.exists(f"{root}/dist/batch=0"), "A's re-run must not wipe B's data"
