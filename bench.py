@@ -408,6 +408,11 @@ def main() -> None:
             # deterministically measured 8.85 s (cleanup backlog from the
             # 400k-turn pipeline runs) vs 3.6 s steady state.
             spark.sparkContext._jvm.System.gc()
+            # drop DataFrame caches so a rep can never serve the previous
+            # rep's materialization (CacheManager keys on the logical
+            # plan, so an identical query would silently cache-hit and
+            # the "best" would measure a cache read, not the operator)
+            spark.catalog.clearCache()
             # bounded wait for background load to clear before the rep
             # starts (the r04 canonicalize reps caught a 1.7-busy-core
             # window and read 2x over steady state; a 20 s bounded wait

@@ -144,7 +144,10 @@ def dsir_importance(
     # materialization while KEEPING lineage — unlike localCheckpoint,
     # losing an executor's blocks recomputes instead of failing the job
     # (on spot/decommissioned fleets that difference is the job). The
-    # ContextCleaner reclaims the cache when the result frame is dropped.
+    # cache entry lives in the session's CacheManager (keyed on the
+    # logical plan) until unpersist/clearCache — a caller scoring MANY
+    # distinct corpora in one long session should unpersist between
+    # corpora; the blocks themselves are evictable MEMORY_AND_DISK.
     per_key = (
         feats.groupBy("doc_id", "is_target", "bucket")
         .agg(F.count("*").alias("cnt"))
